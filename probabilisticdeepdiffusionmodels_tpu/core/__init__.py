@@ -1,0 +1,22 @@
+from .schedules import (
+    NoiseSchedule,
+    get_betas,
+    linear_betas,
+    cosine_alpha_bar,
+    betas_for_alpha_bar,
+    mixed_alpha_bar,
+)
+from .diffusion import (
+    DiffusionTables,
+    q_mean_std,
+    q_sample,
+    q_posterior,
+    xstart_from_epsilon,
+    model_mean_from_epsilon,
+    p_step,
+    mean_flat,
+    normal_kl,
+    approx_standard_normal_cdf,
+    discretized_gaussian_log_likelihood,
+    timestep_embedding,
+)
