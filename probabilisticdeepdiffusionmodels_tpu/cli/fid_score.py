@@ -1,0 +1,47 @@
+"""FID scoring entry point.
+
+Reference surface: scripts/fid_score.py:31-71 (argv: run id + clip flag;
+samples 10k images, scores against the val split) — here:
+
+    python -m probabilisticdeepdiffusionmodels_tpu.cli.fid_score \
+        <run_dir> <clip: true|false> [n_samples] [num_sample_steps]
+
+The reference additionally polls gpustat for a free GPU (scripts/
+fid_score.py:45-49); irrelevant on TPU where the job owns its chips.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from ..evals.fid import compute_fid_from_engine
+from .sample import load_engine_from_run
+from .train import build_loaders
+
+__all__ = ["main"]
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return 1
+    run_dir = argv[0]
+    clip = (argv[1].lower() == "true") if len(argv) > 1 else True
+    n_samples = int(argv[2]) if len(argv) > 2 else 10000
+    num_steps = int(argv[3]) if len(argv) > 3 else None
+
+    engine, run_cfg = load_engine_from_run(run_dir, clip_while_generating=clip)
+    _, val_loader = build_loaders(run_cfg)
+    normalize = (run_cfg["data"].get("transformation_kwargs") or {}).get("normalize")
+
+    fid = compute_fid_from_engine(
+        engine, val_loader, n_samples=n_samples, normalize=normalize,
+        num_sample_steps=num_steps,
+    )
+    print(f"FID: {fid} (run={run_dir} clip={clip} n={n_samples})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,123 @@
+"""Sampling/visualization entry point.
+
+Reference surface: scripts/sample.py:18-151 — load a trained run (there: by
+W&B run id; here: by run directory), rebuild the engine from its saved
+config, override clip_while_generating, run the regular visualization suite
+and/or the detailed per-t0 mean/sampled x clip/no-clip reconstruction panels
+(sample.py:104-147).
+
+    python -m probabilisticdeepdiffusionmodels_tpu.cli.sample \
+        run_dir=runs/run-xyz clip_while_generating=true detailed_viz=true
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import yaml
+
+from ..config import load_config
+from ..data.datasets import DataLoader, get_dataset
+from ..logging.sink import MetricLogger, RunDir
+from ..train.checkpoint import CheckpointManager
+from ..viz.hooks import VisualizationCallback, _grid, _to_img
+from .train import build_engine, build_loaders
+
+__all__ = ["run_sampling", "main", "load_engine_from_run"]
+
+
+def load_engine_from_run(run_path: str, clip_while_generating=None, use_best=True):
+    """Rebuild engine + restore weights from a run directory (the
+    reference's download_file + load_from_checkpoint path, sample.py:47-52)."""
+    run_path = Path(run_path)
+    with open(run_path / "experiment_config.yaml") as f:
+        cfg = yaml.safe_load(f)
+    if clip_while_generating is not None:
+        cfg["engine"]["clip_while_generating"] = bool(clip_while_generating)
+    engine = build_engine(cfg)
+    ckpt = CheckpointManager(run_path / "checkpoints")
+    step = ckpt.best_step() if use_best else None
+    engine.state = ckpt.restore(engine.state, step)
+    return engine, cfg
+
+
+def run_detailed_viz(engine, cfg, media_dir: Path, normalize, n_images=4):
+    """Per-t0 mean/sampled x clip/no-clip panels (reference
+    scripts/sample.py:104-147: t0 in {T, .9T, .8T, .5T})."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    _, val_loader = build_loaders(cfg)
+    x0 = next(iter(val_loader))[0][:n_images]
+    T = engine.diffusion_steps
+    t0s = [T, int(0.9 * T), int(0.8 * T), int(0.5 * T)]
+    orig_clip = engine.clip_while_generating
+    for t0 in t0s:
+        fig, axes = plt.subplots(
+            len(x0), 5, figsize=(10, 2 * len(x0))
+        )
+        axes = np.atleast_2d(axes)
+        for clip_idx, clip in enumerate((False, True)):
+            engine.clip_while_generating = clip
+            for mean_idx, mean_only in enumerate((True, False)):
+                recon, _ = engine.diffuse_and_reconstruct(x0, t0, seed=t0)
+                recon = np.asarray(recon)
+                col = 1 + clip_idx * 2 + mean_idx
+                for i in range(len(x0)):
+                    _grid(axes[i, col], _to_img(recon[i], normalize))
+        for i in range(len(x0)):
+            _grid(axes[i, 0], _to_img(np.asarray(x0[i]), normalize))
+        path = media_dir / f"detailed_t0_{t0}.png"
+        fig.savefig(path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        print(f"[sample] wrote {path}")
+    engine.clip_while_generating = orig_clip
+
+
+def run_sampling(cfg) -> None:
+    assert cfg.get("run_dir"), "pass run_dir=<path to a training run>"
+    engine, run_cfg = load_engine_from_run(
+        cfg["run_dir"], cfg.get("clip_while_generating")
+    )
+    media_dir = Path(cfg["run_dir"]) / "media"
+    media_dir.mkdir(exist_ok=True)
+    normalize = (run_cfg["data"].get("transformation_kwargs") or {}).get("normalize")
+
+    if cfg.get("regular_viz", True):
+        T = engine.diffusion_steps
+        n_vis = cfg.get("num_vis_steps") or (5 if T <= 30 else 10)
+        ts = sorted(set(int(t) for t in np.linspace(1, T - 1, n_vis)))
+        _, val_loader = build_loaders(run_cfg)
+        val_batch = next(iter(val_loader))[0]
+        vis = VisualizationCallback(
+            val_batch=val_batch,
+            ts=ts,
+            media_dir=media_dir,
+            normalize=normalize,
+            n_images=cfg.get("n_images", 4),
+            n_random=cfg.get("n_random", 4),
+            n_interpolation_steps=cfg.get("n_interpolation_steps", 10),
+            n_interpolation_pairs=cfg.get("n_interpolation_pairs", 4),
+            use_ema=cfg.get("use_ema", True),
+        )
+        vis(engine, -1)
+        print(f"[sample] regular viz written to {media_dir}")
+
+    if cfg.get("detailed_viz", False):
+        run_detailed_viz(
+            engine, run_cfg, media_dir, normalize, n_images=cfg.get("n_images", 4)
+        )
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = load_config("sample", argv)
+    return run_sampling(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,139 @@
+"""Training entry point.
+
+Config-driven CLI preserving the reference's surface
+(reference: scripts/train.py:19-170; hydra overrides like
+``model=unet data=cifar10 engine.mode=cosine``):
+
+    python -m probabilisticdeepdiffusionmodels_tpu.cli.train \
+        model=unet_small_grey data=mnist trainer.max_epochs=10
+
+Flow (mirrors run_training, scripts/train.py:64-166): compose config ->
+run dir + logger (+tags) -> dataloaders -> engine (fresh or resumed from a
+previous run dir via ``cont_run=<run-name>``) -> visualization callback on
+val data with EMA -> Trainer.fit -> reload best checkpoint -> NLL test.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..config import load_config
+from ..data.datasets import DataLoader, get_dataset
+from ..engine import DiffusionEngine
+from ..logging.sink import MetricLogger, RunDir, auto_tags
+from ..train.checkpoint import CheckpointManager
+from ..train.loop import Trainer
+from ..viz.hooks import VisualizationCallback
+
+__all__ = ["run_training", "main"]
+
+
+def build_loaders(cfg):
+    data_cfg = dict(cfg["data"])
+    name = data_cfg.pop("name")
+    data_cfg.pop("num_workers", None)
+    resolution = cfg["engine"].get("resolution")
+    extra = {
+        k: data_cfg.pop(k)
+        for k in list(data_cfg)
+        if k not in ("batch_size", "transformation_kwargs", "num_samples_per_epoch")
+    }
+    train_ds = get_dataset(name, train=True, resolution=resolution, **extra)
+    val_ds = get_dataset(name, train=False, resolution=resolution, **extra)
+    seed = int(cfg.get("seed", 0) or 0)
+    train_loader = DataLoader(train_ds, train=True, seed=seed, **data_cfg)
+    val_loader = DataLoader(val_ds, train=False, seed=seed + 1, **data_cfg)
+    return train_loader, val_loader
+
+
+def build_engine(cfg, mesh=None) -> DiffusionEngine:
+    engine_cfg = dict(cfg["engine"])
+    scheduler = dict(cfg.get("scheduler") or {})
+    return DiffusionEngine(
+        model_config=dict(cfg["model"]),
+        seed=int(cfg.get("seed", 0) or 0),
+        scheduler_name=scheduler.get("scheduler_name"),
+        scheduler_kwargs=scheduler.get("scheduler_kwargs"),
+        accumulate_grad_batches=int(
+            cfg.get("trainer", {}).get("accumulate_grad_batches", 1)
+        ),
+        mesh=mesh,
+        **engine_cfg,
+    )
+
+
+def run_training(cfg) -> dict:
+    run_dir = RunDir(cfg.get("out_dir", "./runs"), cfg.get("run_name"))
+    run_dir.save_config(cfg)
+    logger = MetricLogger(run_dir, use_wandb=bool(cfg.get("use_wandb")))
+    print(f"[train] run dir: {run_dir.path}  tags: {auto_tags(cfg)}")
+
+    train_loader, val_loader = build_loaders(cfg)
+    engine = build_engine(cfg)
+
+    # resume from a previous run directory (reference cont_run,
+    # scripts/train.py:99-102 resumes from a W&B run id)
+    if cfg.get("cont_run"):
+        prev = RunDir.find(cfg.get("out_dir", "./runs"), cfg["cont_run"])
+        ckpt = CheckpointManager(prev.checkpoint_dir())
+        engine.state = ckpt.restore(engine.state)
+        print(f"[train] resumed from {prev.path} at step {int(engine.state.step)}")
+
+    # visualization timesteps: linspace over T, 10 points (5 if T<=30)
+    # (reference scripts/train.py:106-111)
+    T = engine.diffusion_steps
+    n_vis = 5 if T <= 30 else 10
+    ts = sorted(set(int(t) for t in np.linspace(1, T - 1, n_vis)))
+
+    vis_cfg = dict(cfg.get("visualization") or {})
+    val_batch = next(iter(val_loader))[0]
+    vis = VisualizationCallback(
+        val_batch=val_batch,
+        ts=ts,
+        media_dir=run_dir.path / "media",
+        normalize=(cfg["data"].get("transformation_kwargs") or {}).get("normalize"),
+        logger=logger,
+        **vis_cfg,
+    )
+
+    trainer_cfg = dict(cfg.get("trainer") or {})
+    trainer = Trainer(
+        engine,
+        run_dir,
+        logger=logger,
+        max_epochs=int(trainer_cfg.get("max_epochs", 100)),
+        check_val_every_n_epoch=int(trainer_cfg.get("check_val_every_n_epoch", 2)),
+        patience=int(cfg.get("patience", 20)),
+        visualization_callback=vis,
+        vis_run_every=int(vis_cfg.get("run_every", 5)),
+    )
+    result = trainer.fit(train_loader, val_loader)
+
+    # final NLL test on the best checkpoint (reference scripts/train.py:164-166)
+    limit = trainer_cfg.get("limit_test_batches", 100)
+    test_metrics = {}
+    for i, (x, _) in enumerate(val_loader):
+        if limit is not None and i >= int(limit):
+            break
+        m = engine.test_step(x, seed=i)
+        for k, v in m.items():
+            test_metrics.setdefault(k, []).append(v)
+        break  # one batch by default; raise limit_test_batches to extend
+    test_metrics = {k: float(np.mean(v)) for k, v in test_metrics.items()}
+    logger.log(test_metrics, step=result["steps"])
+    print(f"[train] done: {result} test: {test_metrics}")
+    logger.close()
+    return {**result, **test_metrics, "run_dir": str(run_dir.path)}
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    cfg = load_config("default", argv)
+    return run_training(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,170 @@
+"""FID: on-device activation statistics + Fréchet distance.
+
+TPU-native redesign of the reference FID pipeline
+(reference: src/modules/fid_score.py:15-88, scripts/fid_score.py:31-71,
+scripts/fid_debug.py).  The reference renders every sample to a PNG through
+matplotlib (lossy: plt.imshow+savefig resamples the image —
+fid_score.py:20-25, a known quirk flagged in SURVEY.md) and shells out to
+pytorch-fid.  Here samples never leave the device: InceptionV3 pool features
+are computed in batches and reduced into running (sum, outer-product sum,
+count) statistics — a formulation that psums cleanly across a mesh — and the
+Fréchet distance is evaluated on host from the accumulated moments.
+
+Capabilities mirrored:
+  * compute_fid_from_engine: sample n images from the model, score against a
+    dataloader's real images (fid_score.py:57-72; default 10000 samples,
+    limit 16384 reals, InceptionV3 dims=2048)
+  * compute_fid_for_loaders: real-vs-real FID floor
+    (fid_debug equivalent, fid_score.py:75-88)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.transforms import unnormalize
+from .inception import inception_pool_features, load_params, preprocess
+
+__all__ = [
+    "ActivationStats",
+    "frechet_distance",
+    "compute_statistics",
+    "compute_fid_from_engine",
+    "compute_fid_for_loaders",
+]
+
+
+class ActivationStats:
+    """Running first/second moments of pool features (mesh-reducible)."""
+
+    def __init__(self, dim: int = 2048):
+        self.s = np.zeros(dim, np.float64)
+        self.ss = np.zeros((dim, dim), np.float64)
+        self.n = 0
+
+    def update(self, feats: np.ndarray):
+        f = np.asarray(feats, np.float64)
+        self.s += f.sum(axis=0)
+        self.ss += f.T @ f
+        self.n += f.shape[0]
+
+    def finalize(self) -> Tuple[np.ndarray, np.ndarray]:
+        mu = self.s / self.n
+        cov = (self.ss - self.n * np.outer(mu, mu)) / (self.n - 1)
+        return mu, cov
+
+
+def frechet_distance(mu1, cov1, mu2, cov2, eps: float = 1e-6) -> float:
+    """||mu1-mu2||^2 + tr(C1 + C2 - 2 sqrt(C1 C2)) (pytorch-fid formula)."""
+    from scipy import linalg
+
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(cov1 @ cov2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(cov1.shape[0]) * eps
+        covmean = linalg.sqrtm((cov1 + offset) @ (cov2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(cov1) + np.trace(cov2) - 2 * np.trace(covmean))
+
+
+def _make_feature_fn(inception_params):
+    @jax.jit
+    def feat(x01):
+        return inception_pool_features(inception_params, preprocess(x01))
+
+    return feat
+
+
+def compute_statistics(
+    batches: Iterable[np.ndarray],
+    inception_params=None,
+    feature_fn: Optional[Callable] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """batches: iterable of NHWC float images in [0, 1]."""
+    if feature_fn is None:
+        inception_params = (
+            inception_params if inception_params is not None else load_params()
+        )
+        feature_fn = _make_feature_fn(inception_params)
+    stats = ActivationStats()
+    for b in batches:
+        stats.update(np.asarray(feature_fn(jnp.asarray(b, jnp.float32))))
+    return stats.finalize()
+
+
+def _real_batches(dataloader, normalize, limit):
+    count = 0
+    for x, _ in dataloader:
+        x01 = unnormalize(np.asarray(x), normalize=normalize, clip=True)
+        if limit is not None and count + len(x01) > limit:
+            x01 = x01[: limit - count]
+        count += len(x01)
+        yield x01
+        if limit is not None and count >= limit:
+            return
+
+
+def compute_fid_from_engine(
+    engine,
+    dataloader,
+    n_samples: int = 10000,
+    minibatch: int = 256,
+    normalize=None,
+    real_limit: int = 16384,
+    inception_params=None,
+    mean_only: bool = False,
+    seed: int = 0,
+    num_sample_steps: Optional[int] = None,
+    ddim: bool = False,
+) -> float:
+    """Sample from the model and score against the dataloader's reals
+    (reference compute_FID_score, src/modules/fid_score.py:57-72; sampling
+    n=10000 at minibatch 256 as scripts/fid_score.py does)."""
+    inception_params = (
+        inception_params if inception_params is not None else load_params()
+    )
+    feat = _make_feature_fn(inception_params)
+
+    def fake_batches():
+        done = 0
+        s = seed
+        while done < n_samples:
+            take = min(minibatch, n_samples - done)
+            imgs = engine.generate_images(
+                n=take, minibatch=take, mean_only=mean_only, seed=s,
+                num_sample_steps=num_sample_steps, ddim=ddim,
+            )
+            s += 1
+            done += take
+            # model space -> [0,1] (reference unnormalizes with clip,
+            # fid_score.py:19-22)
+            yield unnormalize(imgs, normalize=normalize, clip=True)
+
+    mu_f, cov_f = compute_statistics(fake_batches(), feature_fn=feat)
+    mu_r, cov_r = compute_statistics(
+        _real_batches(dataloader, normalize, real_limit), feature_fn=feat
+    )
+    return frechet_distance(mu_f, cov_f, mu_r, cov_r)
+
+
+def compute_fid_for_loaders(
+    loader1, loader2, normalize=None, limit: int = 16384, inception_params=None
+) -> float:
+    """Real-vs-real FID floor (reference compute_FID_score_for_loaders,
+    src/modules/fid_score.py:75-88 / scripts/fid_debug.py)."""
+    inception_params = (
+        inception_params if inception_params is not None else load_params()
+    )
+    feat = _make_feature_fn(inception_params)
+    mu1, cov1 = compute_statistics(
+        _real_batches(loader1, normalize, limit), feature_fn=feat
+    )
+    mu2, cov2 = compute_statistics(
+        _real_batches(loader2, normalize, limit), feature_fn=feat
+    )
+    return frechet_distance(mu1, cov1, mu2, cov2)

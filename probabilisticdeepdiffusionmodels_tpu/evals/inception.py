@@ -1,0 +1,366 @@
+"""InceptionV3 (FID variant) as a pure-JAX inference function.
+
+TPU-native equivalent of pytorch-fid's InceptionV3 feature extractor, which
+the reference drives via ``pytorch_fid.calculate_fid_given_paths``
+(reference: src/modules/fid_score.py:57-72).  pytorch-fid uses torchvision's
+InceptionV3 graph with three patches to match the original TF model
+(avg-pools with count_include_pad=False in the A/C/E blocks, and a MAX pool
+in the final Mixed_7c block); those patches are reproduced here so ported
+weights give matching activations.
+
+Everything is inference-only, so the model is a pure function over a nested
+param dict keyed by the torch module names — which makes the torch->JAX
+weight port a mechanical relabeling (``params_from_torch_state_dict``):
+conv weights OIHW->HWIO, BatchNorm folded at load time into a scale/shift.
+
+Weights: point ``PDDM_INCEPTION_WEIGHTS`` (or the ``weights_path`` argument)
+at pytorch-fid's ``pt_inception-2015-12-05-6726825d.pth`` checkpoint.  With
+no checkpoint available (air-gapped environments) ``random_params`` builds a
+randomly-initialized network — the FID *pipeline* runs end-to-end but the
+absolute numbers are not comparable to the reference's.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "inception_pool_features",
+    "params_from_torch_state_dict",
+    "random_params",
+    "load_params",
+    "preprocess",
+    "FEATURE_DIM",
+]
+
+FEATURE_DIM = 2048
+_BN_EPS = 0.001
+
+
+# ---------------------------------------------------------------- primitives
+
+
+def _conv(p: Dict, x: jax.Array, stride=1, padding=((0, 0), (0, 0))) -> jax.Array:
+    """BasicConv2d: conv(no bias) + folded BN + relu."""
+    if isinstance(stride, int):
+        stride = (stride, stride)
+    y = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=stride, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return jax.nn.relu(y * p["scale"] + p["shift"])
+
+
+def _maxpool3s2(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1), "VALID"
+    )
+
+
+def _maxpool3s1p1(x):
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+
+
+def _avgpool3s1p1_nip(x):
+    """3x3 stride-1 avg pool, pad 1, count_include_pad=False (the
+    pytorch-fid patch)."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    ones = jnp.ones(x.shape[1:3], x.dtype)[None, :, :, None]
+    cnt = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1),
+        [(0, 0), (1, 1), (1, 1), (0, 0)],
+    )
+    return s / cnt
+
+
+# ---------------------------------------------------------------- blocks
+
+
+def _inception_a(p, x):
+    b1 = _conv(p["branch1x1"], x)
+    b5 = _conv(p["branch5x5_2"], _conv(p["branch5x5_1"], x), padding=((2, 2), (2, 2)))
+    b3 = _conv(p["branch3x3dbl_1"], x)
+    b3 = _conv(p["branch3x3dbl_2"], b3, padding=((1, 1), (1, 1)))
+    b3 = _conv(p["branch3x3dbl_3"], b3, padding=((1, 1), (1, 1)))
+    bp = _conv(p["branch_pool"], _avgpool3s1p1_nip(x))
+    return jnp.concatenate([b1, b5, b3, bp], axis=-1)
+
+
+def _inception_b(p, x):
+    b3 = _conv(p["branch3x3"], x, stride=2)
+    bd = _conv(p["branch3x3dbl_1"], x)
+    bd = _conv(p["branch3x3dbl_2"], bd, padding=((1, 1), (1, 1)))
+    bd = _conv(p["branch3x3dbl_3"], bd, stride=2)
+    bp = _maxpool3s2(x)
+    return jnp.concatenate([b3, bd, bp], axis=-1)
+
+
+def _inception_c(p, x):
+    b1 = _conv(p["branch1x1"], x)
+    b7 = _conv(p["branch7x7_1"], x)
+    b7 = _conv(p["branch7x7_2"], b7, padding=((0, 0), (3, 3)))
+    b7 = _conv(p["branch7x7_3"], b7, padding=((3, 3), (0, 0)))
+    bd = _conv(p["branch7x7dbl_1"], x)
+    bd = _conv(p["branch7x7dbl_2"], bd, padding=((3, 3), (0, 0)))
+    bd = _conv(p["branch7x7dbl_3"], bd, padding=((0, 0), (3, 3)))
+    bd = _conv(p["branch7x7dbl_4"], bd, padding=((3, 3), (0, 0)))
+    bd = _conv(p["branch7x7dbl_5"], bd, padding=((0, 0), (3, 3)))
+    bp = _conv(p["branch_pool"], _avgpool3s1p1_nip(x))
+    return jnp.concatenate([b1, b7, bd, bp], axis=-1)
+
+
+def _inception_d(p, x):
+    b3 = _conv(p["branch3x3_2"], _conv(p["branch3x3_1"], x), stride=2)
+    b7 = _conv(p["branch7x7x3_1"], x)
+    b7 = _conv(p["branch7x7x3_2"], b7, padding=((0, 0), (3, 3)))
+    b7 = _conv(p["branch7x7x3_3"], b7, padding=((3, 3), (0, 0)))
+    b7 = _conv(p["branch7x7x3_4"], b7, stride=2)
+    bp = _maxpool3s2(x)
+    return jnp.concatenate([b3, b7, bp], axis=-1)
+
+
+def _inception_e(p, x, pool: str):
+    b1 = _conv(p["branch1x1"], x)
+    b3 = _conv(p["branch3x3_1"], x)
+    b3 = jnp.concatenate(
+        [
+            _conv(p["branch3x3_2a"], b3, padding=((0, 0), (1, 1))),
+            _conv(p["branch3x3_2b"], b3, padding=((1, 1), (0, 0))),
+        ],
+        axis=-1,
+    )
+    bd = _conv(p["branch3x3dbl_1"], x)
+    bd = _conv(p["branch3x3dbl_2"], bd, padding=((1, 1), (1, 1)))
+    bd = jnp.concatenate(
+        [
+            _conv(p["branch3x3dbl_3a"], bd, padding=((0, 0), (1, 1))),
+            _conv(p["branch3x3dbl_3b"], bd, padding=((1, 1), (0, 0))),
+        ],
+        axis=-1,
+    )
+    pooled = _avgpool3s1p1_nip(x) if pool == "avg" else _maxpool3s1p1(x)
+    bp = _conv(p["branch_pool"], pooled)
+    return jnp.concatenate([b1, b3, bd, bp], axis=-1)
+
+
+# ---------------------------------------------------------------- full net
+
+
+def preprocess(x: jax.Array) -> jax.Array:
+    """[0,1] NHWC images of any size -> 299x299, scaled to [-1,1]
+    (pytorch-fid resize_input + normalize_input)."""
+    if x.shape[1] != 299 or x.shape[2] != 299:
+        x = jax.image.resize(
+            x, (x.shape[0], 299, 299, x.shape[3]), method="bilinear"
+        )
+    if x.shape[-1] == 1:
+        x = jnp.repeat(x, 3, axis=-1)
+    return 2.0 * x - 1.0
+
+
+def inception_pool_features(params: Dict, x: jax.Array) -> jax.Array:
+    """x: [B,299,299,3] in [-1,1] -> [B, 2048] pool features."""
+    p = params
+    x = _conv(p["Conv2d_1a_3x3"], x, stride=2)
+    x = _conv(p["Conv2d_2a_3x3"], x)
+    x = _conv(p["Conv2d_2b_3x3"], x, padding=((1, 1), (1, 1)))
+    x = _maxpool3s2(x)
+    x = _conv(p["Conv2d_3b_1x1"], x)
+    x = _conv(p["Conv2d_4a_3x3"], x)
+    x = _maxpool3s2(x)
+    x = _inception_a(p["Mixed_5b"], x)
+    x = _inception_a(p["Mixed_5c"], x)
+    x = _inception_a(p["Mixed_5d"], x)
+    x = _inception_b(p["Mixed_6a"], x)
+    x = _inception_c(p["Mixed_6b"], x)
+    x = _inception_c(p["Mixed_6c"], x)
+    x = _inception_c(p["Mixed_6d"], x)
+    x = _inception_c(p["Mixed_6e"], x)
+    x = _inception_d(p["Mixed_7a"], x)
+    x = _inception_e(p["Mixed_7b"], x, pool="avg")
+    x = _inception_e(p["Mixed_7c"], x, pool="max")  # pytorch-fid patch
+    return jnp.mean(x, axis=(1, 2))  # global avg pool -> [B, 2048]
+
+
+# ---------------------------------------------------------------- weights
+
+
+def params_from_torch_state_dict(sd) -> Dict:
+    """Convert a pytorch-fid InceptionV3 state_dict into the param tree.
+
+    Conv OIHW -> HWIO; BatchNorm folded: scale = gamma/sqrt(var+eps),
+    shift = beta - mean*scale.
+    """
+    import torch
+
+    out: Dict = {}
+
+    def fold(prefix: str) -> Dict:
+        w = sd[f"{prefix}.conv.weight"].numpy().transpose(2, 3, 1, 0)
+        gamma = sd[f"{prefix}.bn.weight"].numpy()
+        beta = sd[f"{prefix}.bn.bias"].numpy()
+        mean = sd[f"{prefix}.bn.running_mean"].numpy()
+        var = sd[f"{prefix}.bn.running_var"].numpy()
+        scale = gamma / np.sqrt(var + _BN_EPS)
+        shift = beta - mean * scale
+        return {
+            "w": jnp.asarray(w),
+            "scale": jnp.asarray(scale, jnp.float32),
+            "shift": jnp.asarray(shift, jnp.float32),
+        }
+
+    stems = [
+        "Conv2d_1a_3x3", "Conv2d_2a_3x3", "Conv2d_2b_3x3",
+        "Conv2d_3b_1x1", "Conv2d_4a_3x3",
+    ]
+    for s in stems:
+        out[s] = fold(s)
+
+    block_branches = {
+        "Mixed_5b": ["branch1x1", "branch5x5_1", "branch5x5_2",
+                     "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3",
+                     "branch_pool"],
+        "Mixed_6a": ["branch3x3", "branch3x3dbl_1", "branch3x3dbl_2",
+                     "branch3x3dbl_3"],
+        "Mixed_6b": ["branch1x1", "branch7x7_1", "branch7x7_2", "branch7x7_3",
+                     "branch7x7dbl_1", "branch7x7dbl_2", "branch7x7dbl_3",
+                     "branch7x7dbl_4", "branch7x7dbl_5", "branch_pool"],
+        "Mixed_7a": ["branch3x3_1", "branch3x3_2", "branch7x7x3_1",
+                     "branch7x7x3_2", "branch7x7x3_3", "branch7x7x3_4"],
+        "Mixed_7b": ["branch1x1", "branch3x3_1", "branch3x3_2a", "branch3x3_2b",
+                     "branch3x3dbl_1", "branch3x3dbl_2", "branch3x3dbl_3a",
+                     "branch3x3dbl_3b", "branch_pool"],
+    }
+    block_branches["Mixed_5c"] = block_branches["Mixed_5b"]
+    block_branches["Mixed_5d"] = block_branches["Mixed_5b"]
+    for m in ("Mixed_6c", "Mixed_6d", "Mixed_6e"):
+        block_branches[m] = block_branches["Mixed_6b"]
+    block_branches["Mixed_7c"] = block_branches["Mixed_7b"]
+
+    for block in ["Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a", "Mixed_6b",
+                  "Mixed_6c", "Mixed_6d", "Mixed_6e", "Mixed_7a", "Mixed_7b",
+                  "Mixed_7c"]:
+        out[block] = {
+            br: fold(f"{block}.{br}") for br in block_branches[block]
+        }
+    return out
+
+
+# architecture spec for random init: (in_ch, out_ch, kh, kw) per conv
+def _arch_spec() -> Dict:
+    def a_block(cin, pool_feat):
+        return {
+            "branch1x1": (cin, 64, 1, 1),
+            "branch5x5_1": (cin, 48, 1, 1), "branch5x5_2": (48, 64, 5, 5),
+            "branch3x3dbl_1": (cin, 64, 1, 1), "branch3x3dbl_2": (64, 96, 3, 3),
+            "branch3x3dbl_3": (96, 96, 3, 3),
+            "branch_pool": (cin, pool_feat, 1, 1),
+        }
+
+    def c_block(cin, c7):
+        return {
+            "branch1x1": (cin, 192, 1, 1),
+            "branch7x7_1": (cin, c7, 1, 1), "branch7x7_2": (c7, c7, 1, 7),
+            "branch7x7_3": (c7, 192, 7, 1),
+            "branch7x7dbl_1": (cin, c7, 1, 1), "branch7x7dbl_2": (c7, c7, 7, 1),
+            "branch7x7dbl_3": (c7, c7, 1, 7), "branch7x7dbl_4": (c7, c7, 7, 1),
+            "branch7x7dbl_5": (c7, 192, 1, 7),
+            "branch_pool": (cin, 192, 1, 1),
+        }
+
+    def e_block(cin):
+        return {
+            "branch1x1": (cin, 320, 1, 1),
+            "branch3x3_1": (cin, 384, 1, 1), "branch3x3_2a": (384, 384, 1, 3),
+            "branch3x3_2b": (384, 384, 3, 1),
+            "branch3x3dbl_1": (cin, 448, 1, 1), "branch3x3dbl_2": (448, 384, 3, 3),
+            "branch3x3dbl_3a": (384, 384, 1, 3), "branch3x3dbl_3b": (384, 384, 3, 1),
+            "branch_pool": (cin, 192, 1, 1),
+        }
+
+    return {
+        "Conv2d_1a_3x3": (3, 32, 3, 3),
+        "Conv2d_2a_3x3": (32, 32, 3, 3),
+        "Conv2d_2b_3x3": (32, 64, 3, 3),
+        "Conv2d_3b_1x1": (64, 80, 1, 1),
+        "Conv2d_4a_3x3": (80, 192, 3, 3),
+        "Mixed_5b": a_block(192, 32),
+        "Mixed_5c": a_block(256, 64),
+        "Mixed_5d": a_block(288, 64),
+        "Mixed_6a": {
+            "branch3x3": (288, 384, 3, 3),
+            "branch3x3dbl_1": (288, 64, 1, 1), "branch3x3dbl_2": (64, 96, 3, 3),
+            "branch3x3dbl_3": (96, 96, 3, 3),
+        },
+        "Mixed_6b": c_block(768, 128),
+        "Mixed_6c": c_block(768, 160),
+        "Mixed_6d": c_block(768, 160),
+        "Mixed_6e": c_block(768, 192),
+        "Mixed_7a": {
+            "branch3x3_1": (768, 192, 1, 1), "branch3x3_2": (192, 320, 3, 3),
+            "branch7x7x3_1": (768, 192, 1, 1), "branch7x7x3_2": (192, 192, 1, 7),
+            "branch7x7x3_3": (192, 192, 7, 1), "branch7x7x3_4": (192, 192, 3, 3),
+        },
+        "Mixed_7b": e_block(1280),
+        "Mixed_7c": e_block(2048),
+    }
+
+
+def random_params(key: jax.Array) -> Dict:
+    """Randomly initialized params with the right shapes (pipeline testing
+    in environments without the pytorch-fid checkpoint)."""
+    spec = _arch_spec()
+    out: Dict = {}
+
+    def mk(key, cin, cout, kh, kw):
+        k1, = jax.random.split(key, 1)
+        w = jax.random.normal(k1, (kh, kw, cin, cout)) * (
+            1.0 / math.sqrt(cin * kh * kw)
+        )
+        return {
+            "w": w.astype(jnp.float32),
+            "scale": jnp.ones((cout,), jnp.float32),
+            "shift": jnp.zeros((cout,), jnp.float32),
+        }
+
+    i = 0
+    for name, sub in spec.items():
+        if isinstance(sub, tuple):
+            out[name] = mk(jax.random.fold_in(key, i), *sub)
+            i += 1
+        else:
+            out[name] = {}
+            for br, shape in sub.items():
+                out[name][br] = mk(jax.random.fold_in(key, i), *shape)
+                i += 1
+    return out
+
+
+def load_params(weights_path: Optional[str] = None) -> Dict:
+    """Load ported weights, or random params with a loud warning."""
+    path = weights_path or os.environ.get("PDDM_INCEPTION_WEIGHTS")
+    if path and os.path.exists(path):
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        return params_from_torch_state_dict(sd)
+    print(
+        "[fid] WARNING: no InceptionV3 checkpoint found (set "
+        "PDDM_INCEPTION_WEIGHTS); using RANDOM weights — FID values will "
+        "not be comparable to pytorch-fid."
+    )
+    return random_params(jax.random.PRNGKey(0))

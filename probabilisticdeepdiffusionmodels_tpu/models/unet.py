@@ -1,0 +1,363 @@
+"""Flax UNet with timestep embedding and spatial self-attention.
+
+TPU-native re-implementation of the improved-diffusion-derived UNet the
+reference uses (reference: src/modules/unet.py:282-550).  Architecture,
+block ordering, zero-init points, attention scaling and head-splitting all
+match the reference; the implementation is NHWC, bfloat16-capable, and
+structured as pure Flax modules so the whole model jits/shards/remats as one
+XLA program.
+
+Capability map vs the reference:
+  * ResBlock (GN-SiLU-conv + time-emb add or FiLM scale-shift + GN-SiLU-
+    dropout-zeroconv, skip 1x1/3x3)  — reference src/modules/unet.py:111-201
+  * AttentionBlock (GN → 1x1 qkv → per-head QKV attention with
+    1/sqrt(sqrt(ch)) two-sided scaling, f32 softmax, zero-init projection,
+    residual)                         — reference src/modules/unet.py:204-256
+  * Up/Downsample (nearest-2x / stride-2 conv or avg-pool)
+                                      — reference src/modules/unet.py:54-108
+  * UNetModel (encoder/middle/decoder with skip-concat, time + optional
+    class embedding, zero-init output conv, feature-vector taps)
+                                      — reference src/modules/unet.py:282-527
+  * SuperResModel (bilinear-upsampled low-res conditioning by concat)
+                                      — reference src/modules/unet.py:530-550
+  * use_checkpoint → jax.checkpoint (rematerialization) per block, the XLA
+    equivalent of the reference's CheckpointFunction
+                                      — reference src/modules/nn.py:125-171
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..core.diffusion import timestep_embedding
+from ..ops.attention import qkv_attention
+from .layers import (
+    Conv,
+    GroupNorm32,
+    Linear,
+    avg_pool_2d,
+    bilinear_resize,
+    nearest_upsample_2d,
+    silu,
+)
+
+Dtype = Any
+
+
+class ResBlock(nn.Module):
+    """Residual block conditioned on the timestep embedding
+    (reference src/modules/unet.py:111-201)."""
+
+    out_channels: int
+    dropout: float = 0.0
+    use_conv_skip: bool = False          # 3x3 skip instead of 1x1
+    use_scale_shift_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, emb: jax.Array, *, train: bool = False):
+        in_channels = x.shape[-1]
+
+        h = GroupNorm32(name="in_norm")(x)
+        h = silu(h)
+        h = Conv(self.out_channels, (3, 3), dtype=self.dtype, name="in_conv")(h)
+
+        emb_out = Linear(
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            dtype=self.dtype,
+            name="emb_proj",
+        )(silu(emb)).astype(h.dtype)
+        emb_out = emb_out[:, None, None, :]
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out, 2, axis=-1)
+            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+        else:
+            h = h + emb_out
+            h = GroupNorm32(name="out_norm")(h)
+        h = silu(h)
+        h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+        h = Conv(
+            self.out_channels, (3, 3), zero_init=True, dtype=self.dtype,
+            name="out_conv",
+        )(h)
+
+        if self.out_channels == in_channels:
+            skip = x
+        elif self.use_conv_skip:
+            skip = Conv(self.out_channels, (3, 3), dtype=self.dtype, name="skip_conv")(x)
+        else:
+            skip = Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip_conv")(x)
+        return skip + h
+
+
+class AttentionBlock(nn.Module):
+    """Spatial self-attention over flattened H*W tokens
+    (reference src/modules/unet.py:204-256).
+
+    Head split matches the reference's contiguous-chunk reshape of the qkv
+    channel axis (unet.py:230: ``qkv.reshape(b*heads, -1, T)``), and the
+    two-sided 1/sqrt(sqrt(ch_per_head... )) scaling with f32 softmax
+    (unet.py:249-256) is preserved inside ops.attention.qkv_attention.
+    """
+
+    num_heads: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        y = GroupNorm32(name="norm")(tokens)
+        qkv = Conv(3 * c, (1,), dtype=self.dtype, name="qkv")(y)
+        out = qkv_attention(qkv, self.num_heads)
+        out = Conv(c, (1,), zero_init=True, dtype=self.dtype, name="proj")(out)
+        return (tokens + out).reshape(b, h, w, c)
+
+
+class Downsample(nn.Module):
+    """Stride-2 conv or avg-pool (reference src/modules/unet.py:85-108)."""
+
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.use_conv:
+            return Conv(
+                x.shape[-1], (3, 3), strides=(2, 2), dtype=self.dtype, name="op"
+            )(x)
+        return avg_pool_2d(x, 2)
+
+
+class Upsample(nn.Module):
+    """Nearest 2x upsample + optional conv (reference src/modules/unet.py:54-82)."""
+
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nearest_upsample_2d(x)
+        if self.use_conv:
+            x = Conv(x.shape[-1], (3, 3), dtype=self.dtype, name="conv")(x)
+        return x
+
+
+def _maybe_remat(module_cls, use_checkpoint: bool, static_argnums=()):
+    """jax.checkpoint per block — the TPU equivalent of the reference's
+    gradient checkpointing (src/modules/nn.py:125-171)."""
+    if use_checkpoint:
+        return nn.remat(module_cls, static_argnums=static_argnums)
+    return module_cls
+
+
+class UNetModel(nn.Module):
+    """The full UNet (reference src/modules/unet.py:282-527).
+
+    Args mirror the reference constructor; ``attention_resolutions`` here are
+    downsample *rates* (the factory converts image-side lengths, reference
+    src/modules/__init__.py:30-32).
+    """
+
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_resolutions: Tuple[int, ...]
+    dropout: float = 0.0
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    num_classes: Optional[int] = None
+    use_checkpoint: bool = False
+    num_heads: int = 1
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    def _embed(self, timesteps, y):
+        emb = timestep_embedding(timesteps, self.model_channels)
+        time_embed_dim = self.model_channels * 4
+        emb = Linear(time_embed_dim, dtype=self.dtype, name="time_embed_1")(emb)
+        emb = Linear(time_embed_dim, dtype=self.dtype, name="time_embed_2")(silu(emb))
+        if self.num_classes is not None:
+            assert y is not None, "class-conditional model requires y"
+            # torch nn.Embedding default init: N(0, 1)
+            label_emb = nn.Embed(
+                self.num_classes,
+                time_embed_dim,
+                embedding_init=nn.initializers.normal(stddev=1.0),
+                param_dtype=jnp.float32,
+                name="label_emb",
+            )(y)
+            emb = emb + label_emb
+        else:
+            assert y is None, "must not pass y for an unconditional model"
+        return emb
+
+    def _blocks(self):
+        """Static plan of the encoder/middle/decoder block structure,
+        mirroring reference src/modules/unet.py:350-441."""
+        heads_up = self.num_heads if self.num_heads_upsample == -1 else self.num_heads_upsample
+        rb = _maybe_remat(ResBlock, self.use_checkpoint)
+        ab = _maybe_remat(AttentionBlock, self.use_checkpoint)
+
+        encoder = []  # list of (kind, kwargs)
+        input_chans = [self.model_channels]
+        ch = self.model_channels
+        ds = 1
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                entry = [("res", dict(out_channels=mult * self.model_channels))]
+                ch = mult * self.model_channels
+                if ds in self.attention_resolutions:
+                    entry.append(("attn", dict(num_heads=self.num_heads)))
+                encoder.append(entry)
+                input_chans.append(ch)
+            if level != len(self.channel_mult) - 1:
+                encoder.append([("down", {})])
+                input_chans.append(ch)
+                ds *= 2
+
+        middle = [
+            ("res", dict(out_channels=ch)),
+            ("attn", dict(num_heads=self.num_heads)),
+            ("res", dict(out_channels=ch)),
+        ]
+
+        decoder = []
+        for level, mult in list(enumerate(self.channel_mult))[::-1]:
+            for i in range(self.num_res_blocks + 1):
+                entry = [("res", dict(out_channels=self.model_channels * mult))]
+                ch = self.model_channels * mult
+                input_chans.pop()
+                if ds in self.attention_resolutions:
+                    entry.append(("attn", dict(num_heads=heads_up)))
+                if level and i == self.num_res_blocks:
+                    entry.append(("up", {}))
+                    ds //= 2
+                decoder.append(entry)
+        return rb, ab, encoder, middle, decoder
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        timesteps: jax.Array,
+        y: Optional[jax.Array] = None,
+        *,
+        train: bool = False,
+        return_features: bool = False,
+    ):
+        """Forward pass; x is NHWC (reference forward: src/modules/unet.py:466-495).
+
+        ``return_features=True`` reproduces ``get_feature_vectors``
+        (reference src/modules/unet.py:497-527): returns a dict with 'down',
+        'middle', 'up' activation lists instead of the output.
+        """
+        emb = self._embed(timesteps, y)
+        rb, ab, encoder, middle, decoder = self._blocks()
+
+        features = dict(down=[], up=[])
+        in_dtype = x.dtype
+        h = x.astype(self.dtype)
+
+        def run_entry(h, entry, prefix, idx):
+            for j, (kind, kw) in enumerate(entry):
+                name = f"{prefix}{idx}_{j}_{kind}"
+                if kind == "res":
+                    h = rb(
+                        dropout=self.dropout,
+                        use_scale_shift_norm=self.use_scale_shift_norm,
+                        dtype=self.dtype,
+                        name=name,
+                        **kw,
+                    )(h, emb, train=train)
+                elif kind == "attn":
+                    h = ab(dtype=self.dtype, name=name, **kw)(h)
+                elif kind == "down":
+                    h = Downsample(self.conv_resample, dtype=self.dtype, name=name)(h)
+                elif kind == "up":
+                    h = Upsample(self.conv_resample, dtype=self.dtype, name=name)(h)
+            return h
+
+        hs = []
+        h = Conv(self.model_channels, (3, 3), dtype=self.dtype, name="in_conv")(h)
+        hs.append(h)
+        features["down"].append(h.astype(in_dtype))
+        for idx, entry in enumerate(encoder):
+            h = run_entry(h, entry, "down", idx)
+            hs.append(h)
+            features["down"].append(h.astype(in_dtype))
+
+        h = run_entry(h, [middle[0]], "mid", 0)
+        h = run_entry(h, [middle[1]], "mid", 1)
+        h = run_entry(h, [middle[2]], "mid", 2)
+        features["middle"] = h.astype(in_dtype)
+
+        for idx, entry in enumerate(decoder):
+            h = jnp.concatenate([h, hs.pop()], axis=-1)
+            h = run_entry(h, entry, "up", idx)
+            features["up"].append(h.astype(in_dtype))
+
+        if return_features:
+            return features
+
+        h = h.astype(in_dtype)
+        h = GroupNorm32(name="out_norm")(h)
+        h = silu(h)
+        h = Conv(self.out_channels, (3, 3), zero_init=True, name="out_conv")(h)
+        return h
+
+
+class SuperResModel(nn.Module):
+    """Super-resolution UNet conditioned on a bilinear-upsampled low-res
+    image by channel concat (reference src/modules/unet.py:530-550).
+
+    Construct with the *base* in_channels; the wrapped UNet sees 2x.
+    """
+
+    in_channels: int
+    model_channels: int
+    out_channels: int
+    num_res_blocks: int
+    attention_resolutions: Tuple[int, ...]
+    dropout: float = 0.0
+    channel_mult: Tuple[int, ...] = (1, 2, 4, 8)
+    conv_resample: bool = True
+    num_classes: Optional[int] = None
+    use_checkpoint: bool = False
+    num_heads: int = 1
+    num_heads_upsample: int = -1
+    use_scale_shift_norm: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, timesteps, low_res=None, y=None, *, train=False,
+                 return_features=False):
+        assert low_res is not None, "SuperResModel requires low_res"
+        upsampled = bilinear_resize(low_res, x.shape[1], x.shape[2])
+        x = jnp.concatenate([x, upsampled.astype(x.dtype)], axis=-1)
+        return UNetModel(
+            in_channels=self.in_channels * 2,
+            model_channels=self.model_channels,
+            out_channels=self.out_channels,
+            num_res_blocks=self.num_res_blocks,
+            attention_resolutions=self.attention_resolutions,
+            dropout=self.dropout,
+            channel_mult=self.channel_mult,
+            conv_resample=self.conv_resample,
+            num_classes=self.num_classes,
+            use_checkpoint=self.use_checkpoint,
+            num_heads=self.num_heads,
+            num_heads_upsample=self.num_heads_upsample,
+            use_scale_shift_norm=self.use_scale_shift_norm,
+            dtype=self.dtype,
+            name="unet",
+        )(x, timesteps, y, train=train, return_features=return_features)

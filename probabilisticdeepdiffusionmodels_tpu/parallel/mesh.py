@@ -1,0 +1,49 @@
+"""Device mesh construction + sharding policy.
+
+The reference's only multi-device hook is Lightning DDP/NCCL
+(reference: scripts/train.py:139-150); it owns no distributed code.  The
+TPU-native equivalent is single-controller JAX SPMD: one
+``jax.sharding.Mesh`` over the slice, batch axes sharded over ``data``,
+parameters replicated, XLA inserting all-reduces over ICI for the gradient
+sum.  Everything is device-count agnostic so the same code runs on 1 TPU
+chip, a v5e-8 slice, or 8 fake CPU devices in tests
+(``--xla_force_host_platform_device_count=8``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch", "P"]
+
+DATA_AXIS = "data"
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, axis_name: str = DATA_AXIS
+) -> Mesh:
+    """1-D data-parallel mesh over the first n devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, ndim: int, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard the leading (batch) dim over the data axis, replicate the rest."""
+    return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch onto the mesh, sharded along the leading axis."""
+    return jax.tree.map(
+        lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), batch
+    )

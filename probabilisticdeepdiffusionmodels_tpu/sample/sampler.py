@@ -1,0 +1,264 @@
+"""Reverse-diffusion sampling as a single jitted lax.scan.
+
+TPU-native redesign of the reference's Python-loop sampler
+(reference: src/engine.py:385-403 denoising_step/sample_from_step,
+src/engine.py:510-554 sample_and_return_steps, engine.py:556-602 batch
+endpoints).  The reference runs T=1000 sequential model calls from Python,
+one CUDA launch chain per step; here the whole trajectory is ONE compiled
+XLA program — ``lax.scan`` over the timestep vector with a donated carry, so
+x_t never leaves HBM and the model never recompiles across steps.
+
+Parity notes:
+  * identical update math via core.diffusion.p_step (mu - sigma*z, no noise
+    at t==1, optional x0-clipping) — given the same z sequence the fp32 CPU
+    trajectory matches the reference bit-for-bit (tested);
+  * ``steps_to_return`` reproduces sample_and_return_steps: after the step
+    at t, if t is in the list, x_{t-1} is recorded (descending-t order);
+  * ``return_stds`` records std(x) before the loop and after every step
+    (engine.py:538-549).
+
+Extensions (absent in the reference, required by BASELINE config #3):
+  * strided ancestral sampling over a subsequence of timesteps via schedule
+    respacing (IDDPM-style: new betas from the alpha-bar values at the kept
+    steps; the model is fed the ORIGINAL timestep values);
+  * DDIM sampling with eta.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import diffusion as D
+from ..core.diffusion import DiffusionTables
+from ..core.schedules import NoiseSchedule
+
+__all__ = [
+    "p_sample_loop",
+    "ddim_sample_loop",
+    "space_timesteps",
+    "respaced_schedule",
+]
+
+
+def _model_eps(apply_fn, params, tables, x, t, y, timestep_map=None):
+    """Model call; handles learned-sigma heads and respaced timestep maps."""
+    t_model = t if timestep_map is None else jnp.take(timestep_map, t - 1)
+    out = apply_fn(params, x, t_model, y)
+    if out.shape[-1] == 2 * x.shape[-1]:
+        eps, v = jnp.split(out, 2, axis=-1)
+        return eps, v
+    return out, None
+
+
+def _learned_sigma(tables, t, v, ndim):
+    """IDDPM learned-sigma interpolation between beta and beta-tilde."""
+    frac = (v + 1.0) / 2.0
+    log_beta = jnp.log(D.expand_to(tables.betas, t, ndim))
+    log_beta_tilde = D.expand_to(tables.posterior_log_variance_clipped, t, ndim)
+    logvar = frac * log_beta + (1.0 - frac) * log_beta_tilde
+    return jnp.exp(0.5 * logvar)
+
+
+def p_sample_loop(
+    apply_fn: Callable,
+    params,
+    tables: DiffusionTables,
+    x_t: jax.Array,
+    key: Optional[jax.Array] = None,
+    *,
+    t_start: Optional[int] = None,
+    sigma_mode: str = "beta",
+    clip: bool = False,
+    mean_only: bool = False,
+    y: Optional[jax.Array] = None,
+    steps_to_return: Optional[Sequence[int]] = None,
+    return_stds: bool = False,
+    noise: Optional[jax.Array] = None,
+    timestep_map: Optional[jax.Array] = None,
+):
+    """Ancestral sampling from t_start down to 1 in one lax.scan.
+
+    ``noise``: optional pre-drawn z stack [t_start, *x.shape] (z for t=t_start
+    first); used by parity harnesses to inject a reference RNG stream.
+    Either ``key`` or ``noise`` must be given unless mean_only.
+
+    Returns x_0, plus (if steps_to_return) the recorded intermediate steps
+    [B, S, ...] in descending-t order, plus (if return_stds) the per-step
+    std trace [t_start+1].
+    """
+    T = t_start if t_start is not None else tables.diffusion_steps
+    b = x_t.shape[0]
+    img_ndim = x_t.ndim
+
+    if steps_to_return is not None:
+        assert all(t < T for t in steps_to_return), "steps must be < t_start"
+        steps_desc = sorted(set(steps_to_return), reverse=True)
+        n_slots = len(steps_desc)
+        # slot per scanned t (t = T - i); n_slots (OOB, dropped) when unrecorded
+        slot_for_t = np.full(T + 1, n_slots, dtype=np.int32)
+        for s_idx, t_val in enumerate(steps_desc):
+            slot_for_t[t_val] = s_idx
+        slots = jnp.asarray(slot_for_t[np.arange(T, 0, -1)])
+        out_init = jnp.zeros((n_slots,) + x_t.shape, x_t.dtype)
+    else:
+        slots = jnp.zeros((T,), jnp.int32)
+        out_init = None
+
+    ts = jnp.arange(T, 0, -1)
+    if noise is not None:
+        zs = noise
+    elif not mean_only:
+        assert key is not None, "need a PRNG key (or explicit noise)"
+        zs = None
+    else:
+        zs = None
+
+    def body(carry, xs):
+        x, out = carry
+        t_step, slot = xs[0], xs[1]
+        t = jnp.full((b,), t_step, dtype=jnp.int32)
+        eps, v = _model_eps(apply_fn, params, tables, x, t, y, timestep_map)
+
+        if mean_only:
+            z = None
+        elif noise is not None:
+            z = xs[2]
+        else:
+            z = jax.random.normal(
+                jax.random.fold_in(key, t_step), x.shape, x.dtype
+            )
+
+        if v is not None and not mean_only:
+            # learned-sigma reverse step (extension)
+            mean = D.model_mean_from_epsilon(tables, x, t, eps, clip=clip)
+            sigma = _learned_sigma(tables, t, v, x.ndim)
+            nonterminal = D.expand_to_mask(t > 1, x.ndim).astype(x.dtype)
+            x = mean - sigma * z * nonterminal
+        else:
+            x = D.p_step(
+                tables, x, t, eps, z,
+                sigma_mode=sigma_mode, clip=clip, mean_only=mean_only,
+            )
+
+        if out is not None:
+            out = out.at[slot].set(x, mode="drop")
+
+        std = jnp.std(x) if return_stds else jnp.zeros((), x.dtype)
+        return (x, out), std
+
+    xs = (ts, slots) + ((zs,) if noise is not None else ())
+    init_std = jnp.std(x_t) if return_stds else None
+    (x_final, out), stds = jax.lax.scan(body, (x_t, out_init), xs)
+
+    results = [x_final]
+    if steps_to_return is not None:
+        # [S, B, ...] -> [B, S, ...] to match the reference's output layout
+        results.append(jnp.moveaxis(out, 0, 1))
+    if return_stds:
+        results.append(jnp.concatenate([init_std[None], stds]))
+    return results[0] if len(results) == 1 else tuple(results)
+
+
+def space_timesteps(diffusion_steps: int, section_counts) -> list:
+    """Choose which original timesteps to keep for strided sampling.
+
+    ``section_counts``: int N (evenly spaced N steps), or "ddimN" for the
+    DDIM stride-T/N spacing.  Returns kept original steps (1-indexed),
+    ascending.
+    """
+    if isinstance(section_counts, str):
+        if section_counts.startswith("ddim"):
+            n = int(section_counts[len("ddim"):])
+            stride = diffusion_steps // n
+            return list(range(1, diffusion_steps + 1, stride))[:n]
+        section_counts = int(section_counts)
+    n = int(section_counts)
+    if n >= diffusion_steps:
+        return list(range(1, diffusion_steps + 1))
+    idx = np.linspace(0, diffusion_steps - 1, n).round().astype(int)
+    return sorted(set(int(i) + 1 for i in idx))
+
+
+def respaced_schedule(
+    sched: NoiseSchedule, use_timesteps: Sequence[int]
+) -> Tuple[NoiseSchedule, np.ndarray]:
+    """Build the schedule over a kept subsequence of timesteps.
+
+    New betas realize the original alpha-bar at the kept steps:
+    beta'_i = 1 - abar[k_i]/abar[k_{i-1}] (IDDPM respacing).  Returns the new
+    schedule and the timestep map (new 1-indexed t -> original 1-indexed t)
+    to feed the model its original timestep embedding inputs.
+    """
+    kept = sorted(set(int(t) for t in use_timesteps))
+    abar = sched.alphas_hat.astype(np.float64)
+    last = 1.0
+    new_betas = []
+    for t in kept:
+        a = abar[t - 1]
+        new_betas.append(1.0 - a / last)
+        last = a
+    new = NoiseSchedule.create(
+        diffusion_steps=len(kept),
+        mode=f"respaced[{sched.mode}]",
+        betas=np.asarray(new_betas, dtype=np.float32),
+    )
+    return new, np.asarray(kept, dtype=np.int32)
+
+
+def ddim_sample_loop(
+    apply_fn: Callable,
+    params,
+    tables: DiffusionTables,
+    x_t: jax.Array,
+    key: Optional[jax.Array] = None,
+    *,
+    t_start: Optional[int] = None,
+    eta: float = 0.0,
+    clip: bool = False,
+    y: Optional[jax.Array] = None,
+    timestep_map: Optional[jax.Array] = None,
+) -> jax.Array:
+    """DDIM sampling (deterministic at eta=0) over the given tables.
+
+    x_{t-1} = sqrt(abar_{t-1}) x0 + sqrt(1 - abar_{t-1} - s^2) eps + s z,
+    s = eta * sqrt((1-abar_{t-1})/(1-abar_t)) * sqrt(1 - abar_t/abar_{t-1}).
+    Combine with respaced_schedule for 50-step fast sampling
+    (BASELINE config #3).
+    """
+    T = t_start if t_start is not None else tables.diffusion_steps
+    b = x_t.shape[0]
+    ts = jnp.arange(T, 0, -1)
+
+    def body(x, t_step):
+        t = jnp.full((b,), t_step, dtype=jnp.int32)
+        eps, v = _model_eps(apply_fn, params, tables, x, t, y, timestep_map)
+        x0 = D.xstart_from_epsilon(tables, x, t, eps, clip=clip)
+        abar = D.expand_to(tables.alphas_hat, t, x.ndim)
+        abar_prev = D.expand_to(tables.alphas_hat_prev, t, x.ndim)
+        sigma = (
+            eta
+            * jnp.sqrt((1.0 - abar_prev) / (1.0 - abar))
+            * jnp.sqrt(1.0 - abar / abar_prev)
+        )
+        mean = (
+            jnp.sqrt(abar_prev) * x0
+            + jnp.sqrt(jnp.maximum(1.0 - abar_prev - sigma**2, 0.0)) * eps
+        )
+        if eta > 0.0:
+            z = jax.random.normal(
+                jax.random.fold_in(key, t_step), x.shape, x.dtype
+            )
+            nonterminal = D.expand_to_mask(t > 1, x.ndim).astype(x.dtype)
+            x = mean + sigma * z * nonterminal
+        else:
+            x = mean
+        return x, None
+
+    x_final, _ = jax.lax.scan(body, x_t, ts)
+    return x_final

@@ -1,0 +1,3 @@
+from .samplers import LossHistory, sample_importance, sample_uniform
+from .state import TrainState, ema_update
+from .step import global_norm, make_eval_step, make_train_step

@@ -1,0 +1,144 @@
+"""The training loop — owns what PyTorch Lightning owned for the reference.
+
+Reference behavior reproduced (scripts/train.py:64-166, src/engine.py):
+  * epoch loop with val every ``check_val_every_n_epoch`` (default.yaml:9)
+  * early stopping on val_loss with ``patience`` (train.py:76-78)
+  * checkpoint on best val_loss (train.py:79-87) via orbax
+  * EMA updated after every optimizer step (engine.py:217-224) — inside the
+    jitted train step here
+  * per-epoch quartile losses loss_q1..4 and per-t curves (engine.py:184-215)
+    from the device-side LossHistory (no per-step host sync)
+  * grad-norm logging per step (engine.py:300-306)
+  * visualization callback every ``run_every`` epochs and at train end
+    (visualization_hooks.py:618-626)
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..engine import DiffusionEngine
+from ..logging.sink import MetricLogger, RunDir
+from .checkpoint import CheckpointManager
+
+__all__ = ["Trainer"]
+
+
+class Trainer:
+    def __init__(
+        self,
+        engine: DiffusionEngine,
+        run_dir: RunDir,
+        logger: Optional[MetricLogger] = None,
+        max_epochs: int = 100,
+        check_val_every_n_epoch: int = 2,
+        patience: int = 20,
+        limit_val_batches: Optional[int] = None,
+        visualization_callback: Optional[Callable] = None,
+        vis_run_every: int = 5,
+        log_every_steps: int = 50,
+    ):
+        self.engine = engine
+        self.run_dir = run_dir
+        self.logger = logger or MetricLogger(run_dir)
+        self.max_epochs = max_epochs
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.patience = patience
+        self.limit_val_batches = limit_val_batches
+        self.vis = visualization_callback
+        self.vis_run_every = vis_run_every
+        self.log_every_steps = log_every_steps
+        self.ckpt = CheckpointManager(run_dir.checkpoint_dir())
+
+    def fit(self, train_loader, val_loader) -> Dict[str, float]:
+        best_val = float("inf")
+        epochs_since_best = 0
+        step = int(self.engine.state.step)
+
+        for epoch in range(self.max_epochs):
+            t0 = time.time()
+            n_batches = 0
+            for x, y in train_loader:
+                metrics = self.engine.training_step(x)
+                step += 1
+                n_batches += 1
+                if step % self.log_every_steps == 0:
+                    self.logger.log(
+                        {
+                            "loss": metrics["loss"],
+                            "total_grad_norm_L2": metrics["grad_norm"],
+                            "epoch": epoch,
+                        },
+                        step=step,
+                    )
+
+            self._log_epoch_loss_stats(epoch, step)
+            dt = time.time() - t0
+            self.logger.log({"epoch_time_s": dt, "epoch": epoch}, step=step)
+
+            if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                val = self._validate(val_loader, step)
+                self.logger.log({**val, "epoch": epoch}, step=step)
+                self.ckpt.save(self.engine.state, step, metrics=val)
+                if val["val_loss"] < best_val:
+                    best_val = val["val_loss"]
+                    epochs_since_best = 0
+                else:
+                    epochs_since_best += self.check_val_every_n_epoch
+                    if epochs_since_best >= self.patience:
+                        print(f"[train] early stop at epoch {epoch}")
+                        break
+
+            if self.vis is not None and (epoch + 1) % self.vis_run_every == 0:
+                self.vis(self.engine, epoch)
+
+        if self.vis is not None:
+            self.vis(self.engine, -1)  # train-end pass (vis hooks run on fit end)
+        # restore the best checkpoint before final eval, mirroring
+        # scripts/train.py:164-166
+        best = self.ckpt.best_step()
+        if best is not None:
+            self.engine.state = self.ckpt.restore(self.engine.state, best)
+        return {"best_val_loss": best_val, "steps": step}
+
+    def _validate(self, val_loader, step) -> Dict[str, float]:
+        losses, losses_no_ema = [], []
+        for i, (x, y) in enumerate(val_loader):
+            if self.limit_val_batches is not None and i >= self.limit_val_batches:
+                break
+            out = self.engine.validation_step(
+                jax.numpy.asarray(x), jax.random.PRNGKey(step + i)
+            )
+            losses.append(float(out["val_loss"]))
+            if "val_loss_no_ema" in out:
+                losses_no_ema.append(float(out["val_loss_no_ema"]))
+        result = {"val_loss": float(np.mean(losses))}
+        if losses_no_ema:
+            result["val_loss_no_ema"] = float(np.mean(losses_no_ema))
+        return result
+
+    def _log_epoch_loss_stats(self, epoch, step):
+        """Quartile losses + per-t curves from device state
+        (reference on_epoch_end, engine.py:184-215)."""
+        hist = self.engine.state.loss_history
+        avg = np.asarray(hist.avg_per_step_epoch())
+        cnt = np.asarray(hist.epoch_count)
+        T = avg.shape[0]
+        qs = {}
+        for i in range(4):
+            lo = max(1, int(i * T / 4))
+            hi = int((i + 1) * T / 4)
+            sl = slice(lo - 1, hi - 1 if hi > lo else lo)
+            w = cnt[sl].sum()
+            qs[f"loss_q{i + 1}"] = (
+                float((avg[sl] * cnt[sl]).sum() / w) if w > 0 else float("nan")
+            )
+        self.logger.log({**qs, "epoch": epoch}, step=step)
+        np.save(self.run_dir.media_path(f"loss_per_step_epoch{epoch}.npy"), avg)
+        self.engine.state = self.engine.state.replace(
+            loss_history=hist.reset_epoch()
+        )

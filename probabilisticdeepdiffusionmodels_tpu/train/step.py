@@ -1,0 +1,164 @@
+"""The jitted training / validation step.
+
+Fuses into one XLA program what the reference splits across
+``Engine.training_step`` (src/engine.py:279-307), the timestep sampler call
+(engine.py:282), ``get_q_t`` noising (engine.py:283-284), the loss with
+optional importance weights (``get_loss``, engine.py:263-277), Lightning's
+backward + Adam step, the EMA update (engine.py:217-224) and the per-t loss
+bookkeeping the reference does on the host with a forced GPU->CPU sync each
+step (engine.py:268-271) — here a device-side scatter into the
+LossHistory ring.
+
+Loss semantics preserved exactly:
+  * eps-prediction MSE, per-sample mean over pixels (mean_flat of squared
+    error, engine.py:266);
+  * weighted path SUMS w*loss, unweighted path MEANS (engine.py:274-277);
+    during importance warmup w == 1/B so both coincide.
+
+Extension (off by default, BASELINE config #2): ``loss_type='hybrid'`` adds
+the IDDPM L_vlb term with a learned-sigma head (model out_channels == 2*C:
+eps and the v-interpolation of log-variance), with stop-gradient on the mean
+inside the vlb term as in IDDPM.  The reference hard-codes learn_sigma=False
+(src/modules/__init__.py:34-39); we default to parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import diffusion as D
+from ..core.diffusion import DiffusionTables
+from .samplers import sample_importance, sample_uniform
+from .state import TrainState
+
+__all__ = ["make_train_step", "make_eval_step", "global_norm"]
+
+
+def global_norm(tree) -> jax.Array:
+    """Global L2 norm over a pytree (reference compute_grad_norm,
+    src/engine.py:332-346)."""
+    leaves = jax.tree.leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32))) for x in leaves))
+
+
+def _vlb_term(tables, params, apply_fn, x0, x_t, t, eps_pred, v_pred):
+    """IDDPM L_vlb for one (x0, x_t, t) with learned sigma interpolation.
+
+    log sigma^2 = v*log(beta_t) + (1-v)*log(beta_tilde_t); KL against the
+    true posterior, in bits/dim; L_0 via the discretized decoder at t==1.
+    Mean uses stop_grad(eps) so L_vlb only trains the variance head.
+    """
+    frac = (v_pred + 1.0) / 2.0
+    log_beta = jnp.log(D.expand_to(tables.betas, t, x0.ndim))
+    log_beta_tilde = D.expand_to(tables.posterior_log_variance_clipped, t, x0.ndim)
+    model_logvar = frac * log_beta + (1.0 - frac) * log_beta_tilde
+
+    eps_sg = jax.lax.stop_gradient(eps_pred)
+    model_mean = D.model_mean_from_epsilon(tables, x_t, t, eps_sg)
+
+    true_mean, true_var = D.q_posterior(tables, t, x0, x_t)
+    kl = D.normal_kl(true_mean, jnp.log(true_var), model_mean, model_logvar)
+    kl = D.mean_flat(kl) / jnp.log(2.0)
+
+    decoder_nll = -D.discretized_gaussian_log_likelihood(
+        x0, model_mean, 0.5 * model_logvar
+    )
+    decoder_nll = D.mean_flat(decoder_nll) / jnp.log(2.0)
+
+    return jnp.where(t == 1, decoder_nll, kl)
+
+
+def make_train_step(
+    apply_fn: Callable,
+    tables: DiffusionTables,
+    *,
+    sampling: str = "uniform",
+    min_counts: int = 10,
+    loss_type: str = "simple",
+    vlb_weight: float = 1e-3,
+    dropout: bool = False,
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """Build the pure train step: (state, x0 [, y]) -> (state, metrics).
+
+    jit/pjit this once; under a Mesh with the batch sharded over 'data' the
+    XLA SPMD partitioner inserts the gradient all-reduce over ICI.
+    """
+    T = tables.diffusion_steps
+    if sampling not in ("uniform", "importance"):
+        raise ValueError(f'Unknown sampling option: "{sampling}"')
+
+    def step(state: TrainState, x0: jax.Array, y=None):
+        rng = jax.random.fold_in(state.rng, state.step)
+        key_t, key_noise, key_drop = jax.random.split(rng, 3)
+        b = x0.shape[0]
+
+        if sampling == "importance":
+            t, weights = sample_importance(key_t, b, state.loss_history, min_counts)
+        else:
+            t, weights = sample_uniform(key_t, b, T)
+
+        noise = jax.random.normal(key_noise, x0.shape, x0.dtype)
+        x_t = D.q_sample(tables, x0, noise, t)
+
+        def loss_fn(params):
+            kwargs = dict(rngs={"dropout": key_drop}, train=True) if dropout else {}
+            out = apply_fn(params, x_t, t, y, **kwargs)
+            if loss_type == "hybrid":
+                eps_pred, v_pred = jnp.split(out, 2, axis=-1)
+            else:
+                eps_pred, v_pred = out, None
+            per_sample = D.mean_flat(jnp.square(noise - eps_pred))
+            if weights is not None:
+                loss = jnp.sum(weights * per_sample)  # engine.py:274-275
+            else:
+                loss = jnp.mean(per_sample)           # engine.py:276-277
+            aux = {"mse_per_sample": per_sample}
+            if loss_type == "hybrid":
+                vlb = _vlb_term(tables, params, apply_fn, x0, x_t, t, eps_pred, v_pred)
+                loss = loss + vlb_weight * jnp.mean(vlb)
+                aux["vlb"] = jnp.mean(vlb)
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+
+        new_history = state.loss_history.update(
+            t, jax.lax.stop_gradient(aux["mse_per_sample"])
+        )
+        state = state.replace(loss_history=new_history)
+        state = state.apply_gradients(grads)
+
+        metrics = {
+            "loss": loss,
+            "grad_norm": global_norm(grads),
+        }
+        if "vlb" in aux:
+            metrics["vlb"] = aux["vlb"]
+        return state, metrics
+
+    return step
+
+
+def make_eval_step(
+    apply_fn: Callable, tables: DiffusionTables
+) -> Callable:
+    """Validation loss (uniform t, no weights, no dropout), computed for a
+    given param set — callers pass params or ema_params to reproduce the
+    reference's val_loss / val_loss_no_ema pair (src/engine.py:309-330)."""
+    T = tables.diffusion_steps
+
+    def step(params, rng: jax.Array, x0: jax.Array, y=None):
+        key_t, key_noise = jax.random.split(rng)
+        t, _ = sample_uniform(key_t, x0.shape[0], T)
+        noise = jax.random.normal(key_noise, x0.shape, x0.dtype)
+        x_t = D.q_sample(tables, x0, noise, t)
+        out = apply_fn(params, x_t, t, y)
+        eps_pred = (
+            jnp.split(out, 2, axis=-1)[0] if out.shape[-1] == 2 * x0.shape[-1] else out
+        )
+        return jnp.mean(D.mean_flat(jnp.square(noise - eps_pred)))
+
+    return step

@@ -1,0 +1,106 @@
+"""Data layer + config system tests."""
+
+import numpy as np
+import pytest
+
+from probabilisticdeepdiffusionmodels_tpu.config import load_config
+from probabilisticdeepdiffusionmodels_tpu.data import (
+    DataLoader,
+    Transform,
+    get_dataset,
+    unnormalize,
+)
+
+
+def test_synthetic_dataset_and_loader():
+    ds = get_dataset("synthetic", resolution=16, n=64)
+    assert ds.images.shape == (64, 16, 16, 3) and ds.images.dtype == np.uint8
+    loader = DataLoader(
+        ds, batch_size=16, train=True,
+        transformation_kwargs=dict(normalize="oneone", flip=True),
+    )
+    assert len(loader) == 4
+    batches = list(loader)
+    assert len(batches) == 4
+    x, y = batches[0]
+    assert x.shape == (16, 16, 16, 3) and x.dtype == np.float32
+    assert x.min() >= -1.0 and x.max() <= 1.0  # oneone -> [-1, 1]
+
+
+def test_num_samples_per_epoch():
+    """Fixed-size with-replacement epochs (reference data.py:60-66)."""
+    ds = get_dataset("synthetic", resolution=8, n=10)
+    loader = DataLoader(
+        ds, batch_size=5, train=True, num_samples_per_epoch=20,
+    )
+    assert len(loader) == 4
+    assert sum(1 for _ in loader) == 4
+
+
+def test_normalize_roundtrip():
+    """unnormalize inverts Normalize (reference data.py:108-128)."""
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, size=(4, 8, 8, 3), dtype=np.uint8)
+    tf = Transform(train=False, normalize="oneone")
+    x = tf(raw, rng)
+    back = unnormalize(x, normalize="oneone", clip=True)
+    np.testing.assert_allclose(back, raw.astype(np.float32) / 255.0, atol=1e-6)
+
+
+def test_transform_crop_and_flip_shapes():
+    rng = np.random.default_rng(0)
+    raw = np.zeros((4, 28, 28, 1), np.uint8)
+    tf = Transform(train=True, crop=True, crop_size=28, crop_padding=4,
+                   flip=True, normalize="mnist")
+    out = tf(raw, rng)
+    assert out.shape == (4, 28, 28, 1)
+    # mnist normalization maps 0 -> -1
+    np.testing.assert_allclose(out.min(), -1.0)
+
+
+def test_transform_bad_normalize():
+    with pytest.raises(ValueError):
+        Transform(normalize="bogus")(np.zeros((1, 4, 4, 1), np.uint8),
+                                     np.random.default_rng(0))
+
+
+def test_config_composition_and_overrides():
+    cfg = load_config("default", [
+        "model=unet_small", "data=cifar10", "engine.mode=cosine",
+        "trainer.max_epochs=3", "engine.ema=0.999", "run_name=x",
+    ])
+    assert cfg["model"]["model_channels"] == 32
+    assert cfg["data"]["name"] == "CIFAR10"
+    assert cfg["engine"]["mode"] == "cosine"
+    assert cfg["trainer"]["max_epochs"] == 3
+    assert cfg["engine"]["ema"] == 0.999
+    assert cfg["run_name"] == "x"
+    assert cfg["_choices"]["model"] == "unet_small"
+
+
+def test_config_null_and_defaults():
+    cfg = load_config("default", ["cont_run=null"])
+    assert cfg["cont_run"] is None
+    # group defaults from default.yaml:13-18 equivalents
+    assert cfg["model"]["name"] == "unet"
+    assert cfg["data"]["name"] == "MNIST"
+    assert cfg["scheduler"]["scheduler_name"] is None
+
+
+def test_all_reference_config_groups_exist():
+    """Every group file from the reference config tree has an equivalent."""
+    from probabilisticdeepdiffusionmodels_tpu.config import CONFIG_DIR
+
+    expected = {
+        "model": ["unet", "unet_celeba", "unet_celebahq", "unet_grey",
+                  "unet_small", "unet_small_grey", "dense"],
+        "data": ["mnist", "cifar10", "celeba", "celebahq"],
+        "engine": ["mnist", "cifar10", "celeba", "celebahq"],
+        "scheduler": ["none", "cosine_annealing"],
+        "visualization": ["more", "less"],
+    }
+    for group, names in expected.items():
+        for n in names:
+            assert (CONFIG_DIR / group / f"{n}.yaml").exists(), f"{group}/{n}"
+    for root in ("default", "sample", "eval"):
+        assert (CONFIG_DIR / f"{root}.yaml").exists()

@@ -1,0 +1,211 @@
+"""Sampler tests, including bit-for-bit fp32 CPU trajectory parity.
+
+The parity harness recomputes the reference's reverse loop
+(src/engine.py:385-403) in torch from its published formulas, drives both
+implementations with an identical model function and identical z draws, and
+requires exact float32 equality of the whole trajectory.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from probabilisticdeepdiffusionmodels_tpu.core import (
+    DiffusionTables,
+    NoiseSchedule,
+)
+from probabilisticdeepdiffusionmodels_tpu.sample import (
+    ddim_sample_loop,
+    p_sample_loop,
+    respaced_schedule,
+    space_timesteps,
+)
+
+
+@pytest.fixture(autouse=True)
+def _strict_ieee_mode():
+    with jax.enable_x64():
+        yield
+
+
+T = 40
+B, H, W, C = 2, 6, 6, 1
+EPS_COEF = np.float32(0.1)  # mock model: eps_hat = 0.1 * x (exact in f32)
+
+
+def setup():
+    sched = NoiseSchedule.create(diffusion_steps=T, mode="linear")
+    tables = DiffusionTables.from_schedule(sched)
+    rng = np.random.RandomState(0)
+    x_T = rng.randn(B, H, W, C).astype(np.float32)
+    zs = rng.randn(T, B, H, W, C).astype(np.float32)  # z for t=T first
+    return sched, tables, x_T, zs
+
+
+def apply_fn(params, x, t, y=None):
+    # optimization_barrier keeps XLA from algebraically simplifying through
+    # the mock model (a real UNet is opaque the same way); without it the
+    # fused scan body rewrites x - (0.1x)*dc and breaks bitwise parity.
+    return jax.lax.optimization_barrier(EPS_COEF * x)
+
+
+def torch_reference_loop(sched, x_T, zs, t_start, clip, sigma_mode, mean_only=False):
+    """Reference sample_from_step recomputed in torch
+    (src/engine.py:385-403, 354-381)."""
+    x = torch.from_numpy(x_T.copy())
+    betas = torch.from_numpy(sched.betas)
+    asq = torch.from_numpy(sched.alphas_sqrt)
+    dc = torch.from_numpy(sched.denoising_coef)
+    sr = torch.from_numpy(sched.sqrt_recip_alphas_hat)
+    srm1 = torch.from_numpy(sched.sqrt_recipm1_alphas_hat)
+    c1 = torch.from_numpy(sched.posterior_mean_coef1)
+    c2 = torch.from_numpy(sched.posterior_mean_coef2)
+    pv = torch.from_numpy(sched.posterior_variance)
+
+    traj = []
+    for i, t in enumerate(range(t_start, 0, -1)):
+        tl = t - 1
+        eps = torch.from_numpy(EPS_COEF * x.numpy())
+        if clip:
+            x0 = (sr[tl] * x - srm1[tl] * eps).clamp(-1, 1)
+            mu = x0 * c1[tl] + x * c2[tl]
+        else:
+            mu = (x - eps * dc[tl]) / asq[tl]
+        x = mu
+        if not mean_only:
+            sigma = torch.sqrt(betas[tl]) if sigma_mode == "beta" else torch.sqrt(pv[tl])
+            z = torch.from_numpy(zs[i]) if t > 1 else torch.zeros_like(x)
+            x = x - sigma * z  # engine.py:395 subtracts
+        traj.append(x.numpy().copy())
+    return traj
+
+
+@pytest.mark.parametrize("clip,sigma_mode", [(False, "beta"), (True, "beta_tilde")])
+def test_trajectory_bitwise_parity(clip, sigma_mode):
+    sched, tables, x_T, zs = setup()
+    ref_traj = torch_reference_loop(sched, x_T, zs, T, clip, sigma_mode)
+
+    ours = p_sample_loop(
+        apply_fn, None, tables, jnp.asarray(x_T),
+        sigma_mode=sigma_mode, clip=clip,
+        noise=jnp.asarray(zs),
+        steps_to_return=list(range(T - 1, 0, -1)),  # record every step < T
+    )
+    x_final, steps = ours
+    # steps are in descending-t order: t=T-1 first ... t=1 last; after the
+    # step at t the stored value is x_{t-1}.
+    steps = np.asarray(steps)  # [B, S, ...]
+    np.testing.assert_array_equal(np.asarray(x_final), ref_traj[-1])
+    for s_idx, t_val in enumerate(range(T - 1, 0, -1)):
+        # slot s_idx stores x after the step at t == t_val; the reference
+        # loop iteration for t is i = T - t (engine.py:541-547)
+        np.testing.assert_array_equal(
+            steps[:, s_idx], ref_traj[T - t_val],
+            err_msg=f"step t={t_val}",
+        )
+
+
+def test_trajectory_parity_mean_only():
+    sched, tables, x_T, zs = setup()
+    ref = torch_reference_loop(sched, x_T, zs, T, False, "beta", mean_only=True)[-1]
+    ours = p_sample_loop(apply_fn, None, tables, jnp.asarray(x_T), mean_only=True)
+    np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+def test_partial_start_parity():
+    sched, tables, x_T, zs = setup()
+    t_start = 17
+    ref = torch_reference_loop(sched, x_T, zs, t_start, True, "beta")[-1]
+    ours = p_sample_loop(
+        apply_fn, None, tables, jnp.asarray(x_T), t_start=t_start, clip=True,
+        noise=jnp.asarray(zs[:t_start]),
+    )
+    np.testing.assert_array_equal(np.asarray(ours), ref)
+
+
+def test_return_stds():
+    sched, tables, x_T, zs = setup()
+    x_final, stds = p_sample_loop(
+        apply_fn, None, tables, jnp.asarray(x_T),
+        noise=jnp.asarray(zs), return_stds=True,
+    )
+    stds = np.asarray(stds)
+    assert stds.shape == (T + 1,)
+    np.testing.assert_allclose(stds[0], x_T.std(), rtol=1e-5)
+    # std trace matches the torch trajectory's stds
+    ref_traj = torch_reference_loop(sched, x_T, zs, T, False, "beta")
+    np.testing.assert_allclose(
+        stds[1:], [t.std() for t in ref_traj], rtol=1e-4
+    )
+
+
+def test_key_driven_sampling_runs():
+    _, tables, x_T, _ = setup()
+    out = p_sample_loop(
+        apply_fn, None, tables, jnp.asarray(x_T), jax.random.PRNGKey(0)
+    )
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddim_deterministic():
+    _, tables, x_T, _ = setup()
+    a = ddim_sample_loop(apply_fn, None, tables, jnp.asarray(x_T))
+    b = ddim_sample_loop(apply_fn, None, tables, jnp.asarray(x_T))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.all(np.isfinite(np.asarray(a)))
+
+
+def test_ddim_eta_stochastic():
+    _, tables, x_T, _ = setup()
+    a = ddim_sample_loop(
+        apply_fn, None, tables, jnp.asarray(x_T), jax.random.PRNGKey(0), eta=1.0
+    )
+    b = ddim_sample_loop(
+        apply_fn, None, tables, jnp.asarray(x_T), jax.random.PRNGKey(1), eta=1.0
+    )
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_space_timesteps():
+    kept = space_timesteps(1000, 50)
+    assert len(kept) == 50 and kept[0] == 1 and kept[-1] == 1000
+    kept_ddim = space_timesteps(1000, "ddim50")
+    assert len(kept_ddim) == 50
+    assert space_timesteps(10, 100) == list(range(1, 11))
+
+
+def test_respaced_schedule_alpha_bar_consistency():
+    sched = NoiseSchedule.create(diffusion_steps=100, mode="cosine")
+    kept = space_timesteps(100, 10)
+    new, tmap = respaced_schedule(sched, kept)
+    assert new.diffusion_steps == 10
+    assert list(tmap) == kept
+    # alpha-bar of the respaced chain matches the original at kept steps
+    # (tiny tail values accumulate ~1e-4 relative f32 error through the
+    # f64->f32->cumprod round trip)
+    np.testing.assert_allclose(
+        new.alphas_hat, sched.alphas_hat[np.asarray(kept) - 1], rtol=3e-4
+    )
+
+
+def test_strided_sampling_runs():
+    sched = NoiseSchedule.create(diffusion_steps=T, mode="linear")
+    kept = space_timesteps(T, 8)
+    new_sched, tmap = respaced_schedule(sched, kept)
+    tables = DiffusionTables.from_schedule(new_sched)
+
+    seen_ts = []
+
+    def spy_apply(params, x, t, y=None):
+        seen_ts.append(t)
+        return EPS_COEF * x
+
+    x_T = np.random.RandomState(0).randn(B, H, W, C).astype(np.float32)
+    out = p_sample_loop(
+        spy_apply, None, tables, jnp.asarray(x_T), jax.random.PRNGKey(0),
+        timestep_map=jnp.asarray(tmap),
+    )
+    assert np.all(np.isfinite(np.asarray(out)))

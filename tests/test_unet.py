@@ -1,0 +1,213 @@
+"""UNet architecture parity tests.
+
+Param counts are checked against an independent analytic count of the
+reference construction plan (src/modules/unet.py:305-441); attention
+semantics against the reference einsum formula (src/modules/unet.py:242-256)
+recomputed in torch; zero-init points by the model's exact-zero output.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from probabilisticdeepdiffusionmodels_tpu.models import get_model
+from probabilisticdeepdiffusionmodels_tpu.ops import qkv_attention_xla
+
+
+def count_params(tree):
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+def reference_param_count(
+    resolution, in_channels, model_channels, num_res_blocks,
+    attention_resolutions, channel_mult, conv_resample=True, num_classes=None,
+    num_heads=1, use_scale_shift_norm=False, learn_sigma=False,
+):
+    """Analytic parameter count of the reference UNet
+    (construction plan: src/modules/unet.py:340-441)."""
+    conv = lambda cin, cout, k: k * k * cin * cout + cout
+    lin = lambda cin, cout: cin * cout + cout
+    gn = lambda c: 2 * c
+
+    def resblock(cin, cout, emb):
+        n = gn(cin) + conv(cin, cout, 3)                      # in_layers
+        n += lin(emb, 2 * cout if use_scale_shift_norm else cout)  # emb_layers
+        n += gn(cout) + conv(cout, cout, 3)                   # out_layers
+        if cin != cout:
+            n += conv(cin, cout, 1)                           # skip 1x1
+        return n
+
+    def attn(c):
+        # norm + qkv conv1 + proj conv1 (src/modules/unet.py:218-221)
+        return gn(c) + (c * 3 * c + 3 * c) + (c * c + c)
+
+    emb_dim = model_channels * 4
+    total = lin(model_channels, emb_dim) + lin(emb_dim, emb_dim)
+    if num_classes:
+        total += num_classes * emb_dim
+
+    attention_ds = [resolution // r for r in attention_resolutions]
+    total += conv(in_channels, model_channels, 3)
+    input_chans = [model_channels]
+    ch = model_channels
+    ds = 1
+    for level, mult in enumerate(channel_mult):
+        for _ in range(num_res_blocks):
+            total += resblock(ch, mult * model_channels, emb_dim)
+            ch = mult * model_channels
+            if ds in attention_ds:
+                total += attn(ch)
+            input_chans.append(ch)
+        if level != len(channel_mult) - 1:
+            total += conv(ch, ch, 3)  # Downsample conv (conv_resample=True)
+            input_chans.append(ch)
+            ds *= 2
+
+    total += resblock(ch, ch, emb_dim) + attn(ch) + resblock(ch, ch, emb_dim)
+
+    for level, mult in list(enumerate(channel_mult))[::-1]:
+        for i in range(num_res_blocks + 1):
+            total += resblock(ch + input_chans.pop(), model_channels * mult, emb_dim)
+            ch = model_channels * mult
+            if ds in attention_ds:
+                total += attn(ch)
+            if level and i == num_res_blocks:
+                total += conv(ch, ch, 3)  # Upsample conv
+                ds //= 2
+
+    out_ch = in_channels * (2 if learn_sigma else 1)
+    total += gn(ch) + conv(model_channels, out_ch, 3)
+    return total
+
+
+# the reference config files, scaled-down resolutions for CPU test speed
+CONFIGS = {
+    "unet_small_grey": dict(  # config/model/unet_small_grey.yaml
+        resolution=16, in_channels=1, model_channels=32, num_res_blocks=1,
+        attention_resolutions=[], channel_mult=(1, 2, 2), num_heads=1,
+    ),
+    "unet": dict(  # config/model/unet.yaml (CIFAR-10)
+        resolution=32, in_channels=3, model_channels=128, num_res_blocks=3,
+        attention_resolutions=[16, 8], channel_mult=(1, 2, 2, 2), num_heads=4,
+    ),
+    "unet_celeba": dict(  # config/model/unet_celeba.yaml
+        resolution=32, in_channels=3, model_channels=128, num_res_blocks=3,
+        attention_resolutions=[16, 8], channel_mult=(1, 2, 3, 4), num_heads=4,
+    ),
+}
+
+
+@pytest.mark.parametrize("name", list(CONFIGS))
+def test_param_count_parity(name):
+    cfg = dict(CONFIGS[name])
+    resolution = cfg.pop("resolution")
+    expected = reference_param_count(resolution=resolution, **cfg)
+    model = get_model(resolution, dict(name="unet", **cfg))
+    x = jnp.zeros((1, resolution, resolution, cfg["in_channels"]))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.ones((1,), jnp.int32))
+    assert count_params(params) == expected
+
+
+def test_forward_shape_and_zero_init():
+    cfg = dict(CONFIGS["unet_small_grey"])
+    resolution = cfg.pop("resolution")
+    model = get_model(resolution, dict(name="unet", **cfg))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, resolution, resolution, 1))
+    t = jnp.asarray([1, 500], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    out = model.apply(params, x, t)
+    assert out.shape == x.shape
+    # final conv is zero-initialized (reference src/modules/unet.py:437-441)
+    np.testing.assert_array_equal(np.asarray(out), np.zeros_like(out))
+
+
+def test_learn_sigma_output_channels():
+    cfg = dict(CONFIGS["unet_small_grey"], learn_sigma=True)
+    resolution = cfg.pop("resolution")
+    expected = reference_param_count(resolution=resolution, **cfg)
+    model = get_model(resolution, dict(name="unet", **cfg))
+    x = jnp.zeros((1, resolution, resolution, 1))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.ones((1,), jnp.int32))
+    assert count_params(params) == expected
+    out = model.apply(params, x, jnp.ones((1,), jnp.int32))
+    assert out.shape == (1, resolution, resolution, 2)
+
+
+def test_class_conditional():
+    cfg = dict(CONFIGS["unet_small_grey"], num_classes=10)
+    resolution = cfg.pop("resolution")
+    model = get_model(resolution, dict(name="unet", **cfg))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, resolution, resolution, 1))
+    t = jnp.asarray([3, 7], jnp.int32)
+    y = jnp.asarray([0, 9], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t, y)
+    expected = reference_param_count(resolution=resolution, **cfg)
+    assert count_params(params) == expected
+    out = model.apply(params, x, t, y)
+    assert out.shape == x.shape
+    with pytest.raises(AssertionError):
+        model.apply(params, x, t)  # must pass y iff class-conditional
+
+
+@pytest.mark.parametrize("num_heads", [1, 4])
+def test_qkv_attention_parity_vs_reference_formula(num_heads):
+    """ops.qkv_attention matches the reference QKVAttention einsum
+    (src/modules/unet.py:242-256) including the contiguous-chunk head split
+    (src/modules/unet.py:230)."""
+    b, c, t = 2, 32, 24
+    rng = np.random.RandomState(0)
+    qkv_nct = rng.randn(b, 3 * c, t).astype(np.float32)
+
+    # reference formula in torch, NCT layout
+    tq = torch.from_numpy(qkv_nct).reshape(b * num_heads, -1, t)
+    ch = tq.shape[1] // 3
+    q, k, v = torch.split(tq, ch, dim=1)
+    scale = 1 / math.sqrt(math.sqrt(ch))
+    w = torch.einsum("bct,bcs->bts", q * scale, k * scale)
+    w = torch.softmax(w.float(), dim=-1).type(w.dtype)
+    ref = torch.einsum("bts,bcs->bct", w, v).reshape(b, -1, t).numpy()
+
+    # ours, NTC layout
+    ours = np.asarray(
+        qkv_attention_xla(jnp.asarray(qkv_nct.transpose(0, 2, 1)), num_heads)
+    ).transpose(0, 2, 1)
+    np.testing.assert_allclose(ours, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_dense_model():
+    model = get_model(16, dict(name="dense", in_channels=1, num_hidden=[64, 32]))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 1))
+    t = jnp.asarray([1, 2], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    out = model.apply(params, x, t)
+    assert out.shape == x.shape
+
+
+def test_superres_model():
+    cfg = dict(CONFIGS["unet_small_grey"])
+    resolution = cfg.pop("resolution")
+    model = get_model(resolution, dict(name="superres", **cfg))
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, resolution, resolution, 1))
+    low = jax.random.normal(jax.random.PRNGKey(1), (2, resolution // 2, resolution // 2, 1))
+    t = jnp.asarray([1, 2], jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t, low)
+    out = model.apply(params, x, t, low)
+    assert out.shape == x.shape
+
+
+def test_factory_attention_ds_conversion():
+    """attention_resolutions are image-side lengths converted to ds rates
+    (reference src/modules/__init__.py:30-32)."""
+    m = get_model(32, dict(name="unet", in_channels=3, model_channels=32,
+                           num_res_blocks=1, attention_resolutions=[16, 8]))
+    assert m.attention_resolutions == (2, 4)
+
+
+def test_factory_rejects_unknown():
+    with pytest.raises(ValueError):
+        get_model(32, dict(name="resnet"))
