@@ -103,22 +103,68 @@ class DiffusionTables(NamedTuple):
         raise ValueError(f"Wrong sigma mode: {sigma_mode}")
 
 
-def _strict_div(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Correctly-rounded float32 division.
+# ---- parity-mode exact float32 arithmetic -------------------------------
+#
+# The BASELINE north star demands bit-for-bit fp32 CPU parity of sampler
+# trajectories with the torch reference.  Two XLA-CPU behaviors break naive
+# parity: (a) f32 division lowers to a reciprocal refinement ~1 ULP off
+# IEEE, and (b) the fusion pass FMA-contracts a*b +/- c patterns inside
+# fused loop bodies (optimization_barrier does NOT survive fusion there).
+#
+# The fix is algebraic rather than flag-based: in parity mode (x64 enabled
+# by the harness) each elementwise op is computed in float64 and rounded to
+# float32.  Products/sums/differences of f32-valued operands are EXACT in
+# f64 (24+24 mantissa bits < 53), so the final round is precisely the IEEE
+# f32 result of the separate op — and any f64 FMA contraction XLA performs
+# is value-identical because the f64 intermediates carry no rounding.  On
+# TPU / production builds (x64 off) these helpers are plain f32 ops and XLA
+# fuses/contracts freely.
 
-    XLA's CPU backend lowers f32 division through a reciprocal refinement
-    that is ~1 ULP off IEEE round-to-nearest, which breaks bit-for-bit
-    trajectory parity with the torch reference.  When 64-bit mode is active
-    (the CPU parity harness enables it) we round-trip through f64, which is
-    exactly rounded for division (53 >= 2*24+2).  On TPU / default builds
-    this is a plain division: f64 is unavailable and the cast is identity.
+
+def _parity_mode() -> bool:
+    return bool(jax.config.jax_enable_x64)
+
+
+def _pm_round(x64: jax.Array) -> jax.Array:
+    """Round an f64 value to float32 precision, un-elidably.
+
+    A plain f64->f32->f64 convert pair inside an XLA:CPU fused loop gets
+    kept in wide registers (the narrowing is skipped), which broke parity;
+    ``lax.reduce_precision`` is an explicit rounding op that codegen must
+    honor.  The result stays f64-typed but carries exactly the f32 value.
     """
-    if (
-        jax.config.jax_enable_x64
-        and jnp.result_type(a) == jnp.float32
-        and jnp.result_type(b) == jnp.float32
-    ):
-        return (a.astype(jnp.float64) / b.astype(jnp.float64)).astype(jnp.float32)
+    return jax.lax.reduce_precision(x64, exponent_bits=8, mantissa_bits=23)
+
+
+def _pm2(op, a, b):
+    a = jnp.asarray(a, jnp.float64)
+    b = jnp.asarray(b, jnp.float64)
+    return _pm_round(op(a, b)).astype(jnp.float32)
+
+
+def _pm_mul(a, b):
+    if _parity_mode():
+        return _pm2(jax.lax.mul, a, b)
+    return a * b
+
+
+def _pm_add(a, b):
+    if _parity_mode():
+        return _pm2(jax.lax.add, a, b)
+    return a + b
+
+
+def _pm_sub(a, b):
+    if _parity_mode():
+        return _pm2(jax.lax.sub, a, b)
+    return a - b
+
+
+def _strict_div(a: jax.Array, b: jax.Array) -> jax.Array:
+    """f32 division, correctly rounded in parity mode (f64 is exactly
+    rounded for division: 53 >= 2*24+2)."""
+    if _parity_mode():
+        return _pm2(jax.lax.div, a, b)
     return a / b
 
 
@@ -135,7 +181,7 @@ def expand_to(table: jax.Array, t: jax.Array, ndim: int) -> jax.Array:
 
 def q_mean_std(tables: DiffusionTables, x0: jax.Array, t: jax.Array):
     """Mean/std of q(x_t | x_0) (reference src/engine.py:251-257)."""
-    mean = x0 * expand_to(tables.alphas_hat_sqrt, t, x0.ndim)
+    mean = _pm_mul(x0, expand_to(tables.alphas_hat_sqrt, t, x0.ndim))
     std = expand_to(tables.one_min_alphas_hat_sqrt, t, x0.ndim)
     return mean, std
 
@@ -143,15 +189,15 @@ def q_mean_std(tables: DiffusionTables, x0: jax.Array, t: jax.Array):
 def q_sample(tables: DiffusionTables, x0: jax.Array, noise: jax.Array, t: jax.Array):
     """Draw x_t = mean + noise*std given noise (reference src/engine.py:259-261)."""
     mean, std = q_mean_std(tables, x0, t)
-    return mean + noise * std
+    return _pm_add(mean, _pm_mul(noise, std))
 
 
 def q_posterior(tables: DiffusionTables, t: jax.Array, x0: jax.Array, x_t: jax.Array):
     """Mean/variance of q(x_{t-1} | x_t, x_0), DDPM eq. (6)/(7)
     (reference src/engine.py:477-490)."""
-    mean = (
-        x0 * expand_to(tables.posterior_mean_coef1, t, x0.ndim)
-        + x_t * expand_to(tables.posterior_mean_coef2, t, x0.ndim)
+    mean = _pm_add(
+        _pm_mul(x0, expand_to(tables.posterior_mean_coef1, t, x0.ndim)),
+        _pm_mul(x_t, expand_to(tables.posterior_mean_coef2, t, x0.ndim)),
     )
     var = expand_to(tables.posterior_variance, t, x0.ndim)
     return mean, var
@@ -165,9 +211,9 @@ def xstart_from_epsilon(
     clip: bool = False,
 ) -> jax.Array:
     """Recover x_0 estimate from predicted noise (reference src/engine.py:363-368)."""
-    x0 = (
-        expand_to(tables.sqrt_recip_alphas_hat, t, x_t.ndim) * x_t
-        - expand_to(tables.sqrt_recipm1_alphas_hat, t, x_t.ndim) * epsilon
+    x0 = _pm_sub(
+        _pm_mul(expand_to(tables.sqrt_recip_alphas_hat, t, x_t.ndim), x_t),
+        _pm_mul(expand_to(tables.sqrt_recipm1_alphas_hat, t, x_t.ndim), epsilon),
     )
     if clip:
         x0 = jnp.clip(x0, -1.0, 1.0)
@@ -193,7 +239,7 @@ def model_mean_from_epsilon(
         return mean
     denois = expand_to(tables.denoising_coef, t, x_t.ndim)
     a_sqrt = expand_to(tables.alphas_sqrt, t, x_t.ndim)
-    return _strict_div(x_t - epsilon * denois, a_sqrt)
+    return _strict_div(_pm_sub(x_t, _pm_mul(epsilon, denois)), a_sqrt)
 
 
 def p_step(
@@ -218,7 +264,7 @@ def p_step(
         return mean
     sigma = expand_to(tables.sigma_table(sigma_mode), t, x_t.ndim)
     nonterminal = expand_to_mask(t > 1, x_t.ndim).astype(x_t.dtype)
-    return mean - sigma * z * nonterminal
+    return _pm_sub(mean, _pm_mul(_pm_mul(sigma, z), nonterminal))
 
 
 def expand_to_mask(mask: jax.Array, ndim: int) -> jax.Array:

@@ -39,15 +39,23 @@ __all__ = [
 
 
 class ActivationStats:
-    """Running first/second moments of pool features (mesh-reducible)."""
+    """Running first/second moments of pool features (mesh-reducible).
 
-    def __init__(self, dim: int = 2048):
-        self.s = np.zeros(dim, np.float64)
-        self.ss = np.zeros((dim, dim), np.float64)
+    Feature dim is taken from the first batch (2048 for InceptionV3 pool
+    features, arbitrary for custom feature functions).
+    """
+
+    def __init__(self, dim: Optional[int] = None):
+        self.s = None if dim is None else np.zeros(dim, np.float64)
+        self.ss = None if dim is None else np.zeros((dim, dim), np.float64)
         self.n = 0
 
     def update(self, feats: np.ndarray):
         f = np.asarray(feats, np.float64)
+        if self.s is None:
+            dim = f.shape[-1]
+            self.s = np.zeros(dim, np.float64)
+            self.ss = np.zeros((dim, dim), np.float64)
         self.s += f.sum(axis=0)
         self.ss += f.T @ f
         self.n += f.shape[0]

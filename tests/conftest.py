@@ -7,7 +7,10 @@ virtual devices).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the environment pre-sets JAX_PLATFORMS=axon (remote TPU via a
+# tunnel) and routes compiles through a remote service — tests must never
+# depend on it (and are ~100x faster off it).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -75,7 +75,10 @@ def test_nll_lt_matches_reference_formula():
     logvar = 2 * np.log(std)
     kl = 0.5 * (-1.0 - logvar + np.exp(logvar) + mean.numpy() ** 2)
     ref = kl.reshape(2, -1).mean(-1) / np.log(2.0)
-    np.testing.assert_allclose(np.asarray(out["L_T"]), ref, rtol=1e-4)
+    # L_T is ~1e-6 for a well-mixed chain: the KL expression cancels
+    # catastrophically, so f32 (impl) vs f64 (ref here) differ relatively;
+    # compare absolutely at the term's actual scale.
+    np.testing.assert_allclose(np.asarray(out["L_T"]), ref, atol=2e-7)
 
 
 def test_activation_stats_match_numpy():
