@@ -60,25 +60,59 @@ class Transform:
         self.crop_padding = crop_padding
         self.norm = resolve_normalization(normalize)
 
-    def __call__(self, images: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-        """images: [B, H, W, C] uint8 (or float in [0,255])."""
+    def __call__(
+        self, images: np.ndarray, rng: np.random.Generator,
+        use_native: bool = True,
+    ) -> np.ndarray:
+        """images: [B, H, W, C] uint8 (or float in [0,255]).
+
+        Random decisions (flip flags, crop offsets) are drawn here so the
+        RNG contract is identical across the numpy and native executors.
+        """
         assert images.ndim == 4, images.shape
         b = images.shape[0]
 
-        if self.flip:
-            do = rng.random(b) < 0.5
-            images = np.where(do[:, None, None, None], images[:, :, ::-1, :], images)
+        flip_flags = (rng.random(b) < 0.5) if self.flip else None
+        ys = xs = None
+        if self.crop:
+            pad = self.crop_padding
+            h = images.shape[1] + 2 * pad
+            w = images.shape[2] + 2 * pad
+            cs = self.crop_size
+            ys = rng.integers(0, h - cs + 1, size=b).astype(np.int32)
+            xs = rng.integers(0, w - cs + 1, size=b).astype(np.int32)
 
+        if use_native and images.dtype == np.uint8:
+            from .native import transform_batch_native
+
+            mean, std = self.norm if self.norm is not None else (
+                np.zeros(1, np.float32), np.ones(1, np.float32)
+            )
+            out = transform_batch_native(
+                images,
+                flip_flags.astype(np.int32) if flip_flags is not None else None,
+                self.crop, self.crop_padding, self.crop_size, ys, xs,
+                np.asarray(mean, np.float32), np.asarray(std, np.float32),
+            )
+            if out is not None:
+                return out
+
+        return self._apply_numpy(images, flip_flags, ys, xs)
+
+    def _apply_numpy(self, images, flip_flags, ys, xs) -> np.ndarray:
+        """Pure-numpy executor (behavioral reference for the native path)."""
+        b = images.shape[0]
+        if flip_flags is not None:
+            images = np.where(
+                flip_flags[:, None, None, None], images[:, :, ::-1, :], images
+            )
         if self.crop:
             pad = self.crop_padding
             if pad:
                 images = np.pad(
                     images, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="constant"
                 )
-            h, w = images.shape[1:3]
             cs = self.crop_size
-            ys = rng.integers(0, h - cs + 1, size=b)
-            xs = rng.integers(0, w - cs + 1, size=b)
             out = np.empty((b, cs, cs, images.shape[3]), images.dtype)
             for i in range(b):
                 out[i] = images[i, ys[i] : ys[i] + cs, xs[i] : xs[i] + cs]

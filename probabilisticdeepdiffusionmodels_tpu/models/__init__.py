@@ -58,6 +58,7 @@ def get_unet(
     use_scale_shift_norm: bool = False,
     learn_sigma: bool = False,
     compute_dtype: str = "float32",
+    use_pallas_attention: bool = False,
     _cls=UNetModel,
 ):
     if dims != 2:
@@ -77,5 +78,6 @@ def get_unet(
         num_heads=num_heads,
         num_heads_upsample=num_heads_upsample,
         use_scale_shift_norm=use_scale_shift_norm,
+        use_pallas_attention=use_pallas_attention,
         dtype=_DTYPES[compute_dtype],
     )

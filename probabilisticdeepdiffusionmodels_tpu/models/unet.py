@@ -108,6 +108,7 @@ class AttentionBlock(nn.Module):
     """
 
     num_heads: int = 1
+    use_pallas: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -116,7 +117,7 @@ class AttentionBlock(nn.Module):
         tokens = x.reshape(b, h * w, c)
         y = GroupNorm32(name="norm")(tokens)
         qkv = Conv(3 * c, (1,), dtype=self.dtype, name="qkv")(y)
-        out = qkv_attention(qkv, self.num_heads)
+        out = qkv_attention(qkv, self.num_heads, use_pallas=self.use_pallas)
         out = Conv(c, (1,), zero_init=True, dtype=self.dtype, name="proj")(out)
         return (tokens + out).reshape(b, h, w, c)
 
@@ -179,6 +180,7 @@ class UNetModel(nn.Module):
     num_heads: int = 1
     num_heads_upsample: int = -1
     use_scale_shift_norm: bool = False
+    use_pallas_attention: bool = False
     dtype: Dtype = jnp.float32
 
     def _embed(self, timesteps, y):
@@ -280,7 +282,8 @@ class UNetModel(nn.Module):
                         **kw,
                     )(h, emb, train=train)
                 elif kind == "attn":
-                    h = ab(dtype=self.dtype, name=name, **kw)(h)
+                    h = ab(dtype=self.dtype, use_pallas=self.use_pallas_attention,
+                           name=name, **kw)(h)
                 elif kind == "down":
                     h = Downsample(self.conv_resample, dtype=self.dtype, name=name)(h)
                 elif kind == "up":
@@ -336,6 +339,7 @@ class SuperResModel(nn.Module):
     num_heads: int = 1
     num_heads_upsample: int = -1
     use_scale_shift_norm: bool = False
+    use_pallas_attention: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -358,6 +362,7 @@ class SuperResModel(nn.Module):
             num_heads=self.num_heads,
             num_heads_upsample=self.num_heads_upsample,
             use_scale_shift_norm=self.use_scale_shift_norm,
+            use_pallas_attention=self.use_pallas_attention,
             dtype=self.dtype,
             name="unet",
         )(x, timesteps, y, train=train, return_features=return_features)

@@ -48,14 +48,20 @@ def qkv_attention_xla(qkv: jax.Array, num_heads: int = 1) -> jax.Array:
     q, k, v = _split_heads(qkv, num_heads)
     ch = q.shape[-1]
     scale = 1.0 / math.sqrt(math.sqrt(ch))
+    # HIGHEST only for f32 inputs (XLA CPU/TPU would otherwise silently
+    # strength-reduce f32 matmuls).  For bf16 inputs HIGHEST would instead
+    # *emulate* f32 with multi-pass bf16 — there the single-pass native MXU
+    # matmul with f32 accumulation is both the fast and the intended path.
+    prec = jax.lax.Precision.HIGHEST if qkv.dtype == jnp.float32 else None
     weight = jnp.einsum(
         "bthc,bshc->bhts", q * scale, k * scale,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec, preferred_element_type=jnp.float32,
     )
-    weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1).astype(weight.dtype)
+    weight = jax.nn.softmax(weight.astype(jnp.float32), axis=-1).astype(qkv.dtype)
     out = jnp.einsum(
-        "bhts,bshc->bthc", weight, v, precision=jax.lax.Precision.HIGHEST
-    )
+        "bhts,bshc->bthc", weight, v,
+        precision=prec, preferred_element_type=jnp.float32,
+    ).astype(qkv.dtype)
     return out.reshape(b, t, c3 // 3)
 
 
