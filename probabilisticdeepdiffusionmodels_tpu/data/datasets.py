@@ -167,6 +167,36 @@ def load_celebahq(root: Path, train: bool, resolution: int = 256):
     return ImageFolderDataset(files, resolution=None)
 
 
+def load_svhn(root: Path, train: bool) -> ArrayDataset:
+    """SVHN from the cropped-digits .mat files (train->train_32x32.mat,
+    eval->test_32x32.mat per the reference split table, data.py:17-22)."""
+    from scipy.io import loadmat
+
+    name = "train_32x32.mat" if train else "test_32x32.mat"
+    mat = loadmat(str(root / name))
+    # X: (32, 32, 3, N) -> (N, 32, 32, 3)
+    images = np.ascontiguousarray(mat["X"].transpose(3, 0, 1, 2))
+    labels = mat["y"].reshape(-1).astype(np.int32) % 10  # '10' means digit 0
+    return ArrayDataset(images.astype(np.uint8), labels)
+
+
+def load_imagefolder(root: Path, train: bool, resolution: Optional[int] = None):
+    """ImageNet-style directory tree: <root>/<split>/<class>/<img> with
+    split names train/val (reference SPLIT_NAMES, data.py:17-22)."""
+    split = "train" if train else "val"
+    base = root / split if (root / split).exists() else root
+    classes = sorted(p.name for p in base.iterdir() if p.is_dir())
+    files, labels = [], []
+    for ci, cls in enumerate(classes):
+        for f in sorted((base / cls).iterdir()):
+            if f.suffix.lower() in (".jpg", ".jpeg", ".png"):
+                files.append(f)
+                labels.append(ci)
+    return ImageFolderDataset(
+        files, np.asarray(labels, np.int32), resolution=resolution
+    )
+
+
 def make_synthetic(
     resolution: int = 32, channels: int = 3, n: int = 256, seed: int = 0
 ) -> ArrayDataset:
@@ -198,6 +228,10 @@ def get_dataset(name: str, train: bool = True, root: Optional[Path] = None,
         return load_celeba(root, train, resolution)
     if lname == "celebahq":
         return load_celebahq(root, train, resolution or 256)
+    if lname == "svhn":
+        return load_svhn(root, train)
+    if lname == "imagenet":
+        return load_imagefolder(root, train, resolution)
     if lname == "synthetic":
         return make_synthetic(
             resolution=resolution or 32, n=kwargs.get("n", 256),
@@ -221,7 +255,12 @@ class DataLoader:
         shuffle: Optional[bool] = None,
         seed: int = 0,
         drop_last: bool = True,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
+        """``shard_id``/``num_shards``: multi-host data sharding — each host
+        process loads its own disjoint slice of every epoch (the DCN-side
+        half of SPMD input pipelines; see SURVEY.md §5.8)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.train = train
@@ -230,9 +269,13 @@ class DataLoader:
         self.shuffle = train if shuffle is None else shuffle
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        assert 0 <= shard_id < num_shards
+        self.shard_id = shard_id
+        self.num_shards = num_shards
 
     def __len__(self):
         n = self.num_samples_per_epoch or len(self.dataset)
+        n = (n - self.shard_id + self.num_shards - 1) // self.num_shards
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def epoch(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -243,6 +286,11 @@ class DataLoader:
             order = self.rng.permutation(n)
         else:
             order = np.arange(n)
+
+        if self.num_shards > 1:
+            # every host draws the same epoch order (seeded identically),
+            # then takes its interleaved slice
+            order = order[self.shard_id :: self.num_shards]
 
         bs = self.batch_size
         stop = len(order) - (len(order) % bs if self.drop_last else 0)

@@ -116,6 +116,22 @@ class VisualizationCallback:
                 _grid(axes[i, j + 1], _to_img(imgs[i, j], self.normalize))
         return self._save(fig, f"random_grid_{tag}")
 
+    def _interpolation_pairs(self, n_pairs: int):
+        """Index pairs for interpolation; when labels are available, pairs
+        share a class (reference same_class_interpolation,
+        visualization_hooks.py:175-192), else consecutive images."""
+        if self.labels is not None:
+            labels = np.asarray(self.labels)
+            pairs = []
+            for cls in np.unique(labels):
+                idx = np.nonzero(labels == cls)[0]
+                for i in range(0, len(idx) - 1, 2):
+                    pairs.append((idx[i], idx[i + 1]))
+                    if len(pairs) >= n_pairs:
+                        return pairs
+            return pairs
+        return [(2 * p, 2 * p + 1) for p in range(n_pairs)]
+
     # -- latent interpolation (visualization_hooks.py:194-345)
     def visualize_interpolation(self, engine, tag: str, t: Optional[int] = None):
         t = t if t is not None else engine.diffusion_steps // 2
@@ -124,9 +140,9 @@ class VisualizationCallback:
             return None
         k = self.n_interpolation_steps
         rows = []
-        for p in range(pairs):
-            x0a = self.val_batch[2 * p : 2 * p + 1]
-            x0b = self.val_batch[2 * p + 1 : 2 * p + 2]
+        for p, (ia, ib) in enumerate(self._interpolation_pairs(pairs)):
+            x0a = self.val_batch[ia : ia + 1]
+            x0b = self.val_batch[ib : ib + 1]
             xa = np.asarray(engine.get_noised_representation(x0a, t, seed=p))
             xb = np.asarray(engine.get_noised_representation(x0b, t, seed=p + 1))
             lerps = [
@@ -138,7 +154,11 @@ class VisualizationCallback:
             )
             rows.append((x0a[0], recon, x0b[0]))
 
-        fig, axes = plt.subplots(pairs, k + 2, figsize=(2 * (k + 2), 2 * pairs))
+        if not rows:
+            return None
+        fig, axes = plt.subplots(
+            len(rows), k + 2, figsize=(2 * (k + 2), 2 * len(rows))
+        )
         axes = np.atleast_2d(axes)
         for i, (a, recon, b) in enumerate(rows):
             _grid(axes[i, 0], _to_img(a, self.normalize), border_color="red")
