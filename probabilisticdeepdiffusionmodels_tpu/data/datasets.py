@@ -152,19 +152,25 @@ def load_celebahq(root: Path, train: bool, resolution: int = 256):
     1024."""
     import csv
 
+    resize_to = None
     if resolution == 256:
         img_dir = root / "img256"
     elif resolution == 1024:
         img_dir = root / "CelebA-HQ-img"
+    elif (root / f"img{resolution}").exists():
+        img_dir = root / f"img{resolution}"
     else:
-        raise ValueError("resolution not supported")
+        # downsample on the fly from the 256px set (e.g. the 64x64
+        # BASELINE config #4); run prep_celebahq resize for a cached dir
+        img_dir = root / "img256"
+        resize_to = resolution
     wanted = {0, 3} if train else {1, 2}
     files = []
     with open(root / "metadata.csv") as f:
         for row in csv.DictReader(f):
             if int(row["split"]) in wanted:
                 files.append(img_dir / row["file_name"])
-    return ImageFolderDataset(files, resolution=None)
+    return ImageFolderDataset(files, resolution=resize_to)
 
 
 def load_svhn(root: Path, train: bool) -> ArrayDataset:

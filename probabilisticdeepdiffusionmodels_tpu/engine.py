@@ -31,7 +31,7 @@ from .core.schedules import NoiseSchedule
 from .core import diffusion as D
 from .evals.nll import calculate_likelihood
 from .models import get_model
-from .parallel.mesh import make_mesh, shard_batch
+from .parallel.mesh import data_sharding, make_mesh, replicated, shard_batch
 from .sample.sampler import (
     ddim_sample_loop,
     p_sample_loop,
@@ -276,9 +276,17 @@ class DiffusionEngine:
         images = []
         shape = (minibatch, self.resolution, self.resolution, self.in_channels)
 
+        if self.mesh is not None:
+            # batch-sharded sampling over the mesh (BASELINE config #5):
+            # x_T sharded on the data axis, params replicated, every step of
+            # the scanned trajectory stays sharded with no collectives
+            params = jax.device_put(params, replicated(self.mesh))
+
         for i in range(int(np.ceil(n / minibatch))):
             key, knoise, kloop = jax.random.split(key, 3)
             x_t = jax.random.normal(knoise, shape, jnp.float32)
+            if self.mesh is not None:
+                x_t = jax.device_put(x_t, data_sharding(self.mesh, x_t.ndim))
             if ddim:
                 x = ddim_sample_loop(
                     self._apply, params, tables, x_t, kloop, eta=ddim_eta,

@@ -1,0 +1,84 @@
+"""Trainer loop end-to-end on a tiny CPU config: epochs, validation cadence,
+checkpointing, early stopping, epoch loss stats, best-checkpoint reload."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from probabilisticdeepdiffusionmodels_tpu.data import DataLoader, get_dataset
+from probabilisticdeepdiffusionmodels_tpu.engine import DiffusionEngine
+from probabilisticdeepdiffusionmodels_tpu.logging.sink import MetricLogger, RunDir
+from probabilisticdeepdiffusionmodels_tpu.train.loop import Trainer
+
+T = 20
+
+
+def make_bits(tmp_path, max_epochs=4, patience=100):
+    ds = get_dataset("synthetic", resolution=8, n=64, channels=1)
+    loaders = [
+        DataLoader(ds, batch_size=32, train=tr,
+                   transformation_kwargs=dict(normalize="mnist"))
+        for tr in (True, False)
+    ]
+    engine = DiffusionEngine(
+        model_config=dict(name="unet", in_channels=1, model_channels=16,
+                          num_res_blocks=1, attention_resolutions=[],
+                          channel_mult=[1, 2]),
+        optimizer_config={"lr": 1e-3},
+        diffusion_steps=T,
+        mode="cosine",
+        resolution=8,
+        ema=0.9,
+        seed=0,
+    )
+    run_dir = RunDir(str(tmp_path), "testrun")
+    trainer = Trainer(
+        engine, run_dir, logger=MetricLogger(run_dir),
+        max_epochs=max_epochs, check_val_every_n_epoch=2, patience=patience,
+        log_every_steps=1,
+    )
+    return engine, run_dir, trainer, loaders
+
+
+def test_fit_end_to_end(tmp_path):
+    engine, run_dir, trainer, (train_loader, val_loader) = make_bits(tmp_path)
+    result = trainer.fit(train_loader, val_loader)
+    assert result["steps"] == 4 * 2  # 4 epochs x 2 batches
+    assert np.isfinite(result["best_val_loss"])
+
+    # metrics JSONL written with loss/grad-norm/quartiles/val entries
+    lines = [json.loads(l) for l in open(run_dir.path / "metrics.jsonl")]
+    keys = set(k for l in lines for k in l)
+    for expected in ("loss", "total_grad_norm_L2", "loss_q1", "loss_q4",
+                     "val_loss", "val_loss_no_ema", "epoch_time_s"):
+        assert expected in keys, expected
+
+    # checkpoints exist and best reload happened (state.step is a saved step)
+    ckpts = sorted(int(p.name) for p in run_dir.checkpoint_dir().iterdir()
+                   if p.name.isdigit())
+    assert ckpts, "no checkpoints saved"
+    assert int(engine.state.step) in ckpts
+
+    trainer.ckpt.close()
+
+
+def test_early_stopping(tmp_path):
+    engine, run_dir, trainer, (train_loader, val_loader) = make_bits(
+        tmp_path, max_epochs=50, patience=2
+    )
+    # poison validation so val_loss never improves after the first check
+    calls = {"n": 0}
+    orig = trainer._validate
+
+    def fake_validate(loader, step):
+        calls["n"] += 1
+        return {"val_loss": float(calls["n"]), "val_loss_no_ema": 1.0}
+
+    trainer._validate = fake_validate
+    result = trainer.fit(train_loader, val_loader)
+    # patience 2 with val every 2 epochs -> stop after the 2nd check
+    assert calls["n"] <= 3
+    assert result["steps"] < 50 * 2
+    trainer.ckpt.close()
