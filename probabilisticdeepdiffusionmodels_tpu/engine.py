@@ -354,6 +354,16 @@ class DiffusionEngine:
         _, steps = out
         return steps, x_t
 
+    def get_feature_vectors(self, x, t, y=None, use_ema: bool = False):
+        """All intermediate activations {'down': [...], 'middle': ...,
+        'up': [...]} (reference UNetModel.get_feature_vectors,
+        src/modules/unet.py:497-527)."""
+        tb = jnp.full((x.shape[0],), t, jnp.int32) if np.isscalar(t) else jnp.asarray(t)
+        return self.model.apply(
+            {"params": self.params(use_ema)}, jnp.asarray(x), tb, y,
+            return_features=True,
+        )
+
     # ------------ evaluation (reference engine.py:407-506)
 
     def calculate_likelihood(self, x, seed=0, use_ema=True):
