@@ -14,6 +14,9 @@ Semantics notes for parity:
   * the model mean uses the UNCLIPPED eps->mu path (the reference calls
     model_mean_std with default clip=False at engine.py:461);
   * predicted std is the fixed sigma table entry at t-1 (engine.py:351);
+    for learned-sigma models (our IDDPM extension; the reference has none)
+    the predicted log-variance is the v-interpolation between beta and
+    beta-tilde instead;
   * MSE is collected per t as mean over the raw squared error tensor
     (engine.py:472-473, averaged at engine.py:425).
 """
@@ -61,9 +64,12 @@ def calculate_likelihood(
     t1 = jnp.ones((b,), jnp.int32)
     noise0 = jax.random.normal(k0, x0.shape, x0.dtype)
     x_1 = D.q_sample(tables, x0, noise0, t1)
-    eps0 = _eps_only(apply_fn, params, x_1, t1, y)
+    eps0, v0 = _eps_and_v(apply_fn, params, x_1, t1, y)
     mean0 = D.model_mean_from_epsilon(tables, x_1, t1, eps0)
-    log_scale0 = jnp.log(sigma_table[0]) * jnp.ones_like(x0)
+    if v0 is not None:
+        log_scale0 = 0.5 * _learned_logvar(tables, t1, v0, x0.ndim)
+    else:
+        log_scale0 = jnp.log(sigma_table[0]) * jnp.ones_like(x0)
     L_0 = (
         -D.mean_flat(D.discretized_gaussian_log_likelihood(x0, mean0, log_scale0))
         / ln2
@@ -77,9 +83,12 @@ def calculate_likelihood(
         x_t = D.q_sample(tables, x0, noise, t)
         mean_t, var_t = D.q_posterior(tables, t, x0, x_t)
 
-        eps = _eps_only(apply_fn, params, x_t, t, y)
+        eps, v = _eps_and_v(apply_fn, params, x_t, t, y)
         pred_mean = D.model_mean_from_epsilon(tables, x_t, t, eps)
-        pred_logvar = 2.0 * jnp.log(D.expand_to(sigma_table, t, x0.ndim))
+        if v is not None:
+            pred_logvar = _learned_logvar(tables, t, v, x0.ndim)
+        else:
+            pred_logvar = 2.0 * jnp.log(D.expand_to(sigma_table, t, x0.ndim))
 
         kl = D.normal_kl(mean_t, jnp.log(var_t), pred_mean, pred_logvar)
         L_i = D.mean_flat(kl) / ln2
@@ -102,8 +111,18 @@ def calculate_likelihood(
     }
 
 
-def _eps_only(apply_fn, params, x, t, y):
+def _eps_and_v(apply_fn, params, x, t, y):
     out = apply_fn(params, x, t, y)
     if out.shape[-1] == 2 * x.shape[-1]:
-        out = jnp.split(out, 2, axis=-1)[0]
-    return out
+        eps, v = jnp.split(out, 2, axis=-1)
+        return eps, v
+    return out, None
+
+
+def _learned_logvar(tables, t, v, ndim):
+    """IDDPM learned log-variance interpolation (matches the sampler's
+    _learned_sigma in sample/sampler.py)."""
+    frac = (v + 1.0) / 2.0
+    log_beta = jnp.log(D.expand_to(tables.betas, t, ndim))
+    log_beta_tilde = D.expand_to(tables.posterior_log_variance_clipped, t, ndim)
+    return frac * log_beta + (1.0 - frac) * log_beta_tilde
