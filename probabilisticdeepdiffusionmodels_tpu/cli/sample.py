@@ -107,6 +107,27 @@ def run_sampling(cfg) -> None:
         vis(engine, -1)
         print(f"[sample] regular viz written to {media_dir}")
 
+    if cfg.get("num_sample_steps") or cfg.get("sampler") == "ddim":
+        # fast-sampler generation grid (strided/DDIM, BASELINE config #3)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n = int(cfg.get("n_random", 4))
+        imgs = engine.generate_images(
+            n=n, minibatch=n, seed=0, use_ema=cfg.get("use_ema", True),
+            num_sample_steps=cfg.get("num_sample_steps"),
+            ddim=cfg.get("sampler") == "ddim",
+        )
+        fig, axes = plt.subplots(1, n, figsize=(2 * n, 2.2))
+        for i in range(n):
+            _grid(np.atleast_1d(axes)[i], _to_img(imgs[i], normalize))
+        tagname = f"fast_{cfg.get('sampler','ancestral')}_{cfg.get('num_sample_steps') or 'full'}"
+        path = media_dir / f"{tagname}.png"
+        fig.savefig(path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        print(f"[sample] wrote {path}")
+
     if cfg.get("detailed_viz", False):
         run_detailed_viz(
             engine, run_cfg, media_dir, normalize, n_images=cfg.get("n_images", 4)

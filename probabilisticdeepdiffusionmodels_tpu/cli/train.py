@@ -75,11 +75,22 @@ def run_training(cfg) -> dict:
     engine = build_engine(cfg)
 
     # resume from a previous run directory (reference cont_run,
-    # scripts/train.py:99-102 resumes from a W&B run id)
-    if cfg.get("cont_run"):
-        prev = RunDir.find(cfg.get("out_dir", "./runs"), cfg["cont_run"])
+    # scripts/train.py:99-102 resumes from a W&B run id); auto_resume=true
+    # restarts from this run's own latest checkpoint when present (elastic
+    # restart after preemption/crash)
+    resume_from = cfg.get("cont_run")
+    if cfg.get("auto_resume") and not resume_from:
+        try:
+            prev = RunDir.find(cfg.get("out_dir", "./runs"), run_dir.name)
+            if any(prev.checkpoint_dir().iterdir()):
+                resume_from = run_dir.name
+        except FileNotFoundError:
+            pass
+    if resume_from:
+        prev = RunDir.find(cfg.get("out_dir", "./runs"), resume_from)
         ckpt = CheckpointManager(prev.checkpoint_dir())
         engine.state = ckpt.restore(engine.state)
+        ckpt.close()
         print(f"[train] resumed from {prev.path} at step {int(engine.state.step)}")
 
     # visualization timesteps: linspace over T, 10 points (5 if T<=30)
@@ -89,15 +100,18 @@ def run_training(cfg) -> dict:
     ts = sorted(set(int(t) for t in np.linspace(1, T - 1, n_vis)))
 
     vis_cfg = dict(cfg.get("visualization") or {})
-    val_batch = next(iter(val_loader))[0]
-    vis = VisualizationCallback(
-        val_batch=val_batch,
-        ts=ts,
-        media_dir=run_dir.path / "media",
-        normalize=(cfg["data"].get("transformation_kwargs") or {}).get("normalize"),
-        logger=logger,
-        **vis_cfg,
-    )
+    if int(vis_cfg.get("run_every", 5) or 0) <= 0:
+        vis = None  # visualization=none disables the callback entirely
+    else:
+        val_batch = next(iter(val_loader))[0]
+        vis = VisualizationCallback(
+            val_batch=val_batch,
+            ts=ts,
+            media_dir=run_dir.path / "media",
+            normalize=(cfg["data"].get("transformation_kwargs") or {}).get("normalize"),
+            logger=logger,
+            **vis_cfg,
+        )
 
     trainer_cfg = dict(cfg.get("trainer") or {})
     trainer = Trainer(
@@ -108,7 +122,8 @@ def run_training(cfg) -> dict:
         check_val_every_n_epoch=int(trainer_cfg.get("check_val_every_n_epoch", 2)),
         patience=int(cfg.get("patience", 20)),
         visualization_callback=vis,
-        vis_run_every=int(vis_cfg.get("run_every", 5)),
+        vis_run_every=max(1, int(vis_cfg.get("run_every", 5) or 1)),
+        save_every_steps=trainer_cfg.get("save_every_steps"),
     )
     result = trainer.fit(train_loader, val_loader)
 

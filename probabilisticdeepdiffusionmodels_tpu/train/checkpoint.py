@@ -38,11 +38,15 @@ class CheckpointManager:
         self._mgr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, state: TrainState, step: int, metrics: Optional[dict] = None):
-        metrics = {k: float(v) for k, v in (metrics or {}).items()}
+        """Metric-less saves (periodic/crash-resilience) are kept outside the
+        best-k competition (orbax keep_checkpoints_without_metrics)."""
+        metrics = (
+            {k: float(v) for k, v in metrics.items()} if metrics else None
+        )
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(_to_saveable(state)),
-            metrics=metrics or {"val_loss": float("inf")},
+            metrics=metrics,
         )
         self._mgr.wait_until_finished()
 

@@ -41,6 +41,7 @@ class Trainer:
         visualization_callback: Optional[Callable] = None,
         vis_run_every: int = 5,
         log_every_steps: int = 50,
+        save_every_steps: Optional[int] = None,
     ):
         self.engine = engine
         self.run_dir = run_dir
@@ -52,6 +53,10 @@ class Trainer:
         self.vis = visualization_callback
         self.vis_run_every = vis_run_every
         self.log_every_steps = log_every_steps
+        # crash resilience beyond the val-cadence best-checkpointing
+        # (the reference relies on Lightning's val-time ModelCheckpoint only,
+        # scripts/train.py:79-87)
+        self.save_every_steps = save_every_steps
         self.ckpt = CheckpointManager(run_dir.checkpoint_dir())
 
     def fit(self, train_loader, val_loader) -> Dict[str, float]:
@@ -75,6 +80,8 @@ class Trainer:
                         },
                         step=step,
                     )
+                if self.save_every_steps and step % self.save_every_steps == 0:
+                    self.ckpt.save(self.engine.state, step)
 
             self._log_epoch_loss_stats(epoch, step)
             dt = time.time() - t0
