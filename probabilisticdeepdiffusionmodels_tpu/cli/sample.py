@@ -19,8 +19,6 @@ import numpy as np
 import yaml
 
 from ..config import load_config
-from ..data.datasets import DataLoader, get_dataset
-from ..logging.sink import MetricLogger, RunDir
 from ..train.checkpoint import CheckpointManager
 from ..viz.hooks import VisualizationCallback, _grid, _to_img
 from .train import build_engine, build_loaders

@@ -16,7 +16,6 @@ val data with EMA -> Trainer.fit -> reload best checkpoint -> NLL test.
 from __future__ import annotations
 
 import sys
-from pathlib import Path
 
 import numpy as np
 

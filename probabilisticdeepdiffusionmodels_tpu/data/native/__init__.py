@@ -7,9 +7,7 @@ path in data/transforms.py is the behavioral reference either way.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
-import tempfile
 from pathlib import Path
 from typing import Optional
 

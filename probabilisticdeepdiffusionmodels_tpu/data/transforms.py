@@ -14,7 +14,7 @@ Mirrors reference src/datasets/data.py:24-28 (named normalizations),
 
 from __future__ import annotations
 
-from typing import Iterable, Optional, Sequence, Tuple, Union
+from typing import Iterable, Optional, Tuple
 
 import numpy as np
 

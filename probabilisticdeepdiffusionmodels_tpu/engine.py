@@ -19,7 +19,7 @@ simply selects the parameter pytree.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -31,7 +31,7 @@ from .core.schedules import NoiseSchedule
 from .core import diffusion as D
 from .evals.nll import calculate_likelihood
 from .models import get_model
-from .parallel.mesh import data_sharding, make_mesh, replicated, shard_batch
+from .parallel.mesh import data_sharding, replicated, shard_batch
 from .sample.sampler import (
     ddim_sample_loop,
     p_sample_loop,

@@ -14,7 +14,7 @@ TPU-native equivalents of the reference's primitive layer set
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -27,8 +27,7 @@ Capability map vs the reference:
 
 from __future__ import annotations
 
-import math
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,6 @@ the XLA path is the fallback and the autodiff path.
 
 from __future__ import annotations
 
-import functools
 import math
 
 import jax

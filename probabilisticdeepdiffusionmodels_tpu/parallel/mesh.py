@@ -12,7 +12,7 @@ chip, a v5e-8 slice, or 8 fake CPU devices in tests
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -26,8 +26,6 @@ Extensions (absent in the reference, required by BASELINE config #3):
 
 from __future__ import annotations
 
-import math
-from functools import partial
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax

@@ -15,10 +15,8 @@ wandb_util.py:16-33).  Here:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
-import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from .state import TrainState

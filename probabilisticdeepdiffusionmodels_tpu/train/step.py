@@ -24,8 +24,7 @@ inside the vlb term as in IDDPM.  The reference hard-codes learn_sigma=False
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
