@@ -31,7 +31,7 @@ from .core.schedules import NoiseSchedule
 from .core import diffusion as D
 from .evals.nll import calculate_likelihood
 from .models import get_model
-from .parallel.mesh import data_sharding, replicated, shard_batch
+from .parallel.mesh import data_sharding, replicated, shard_batch, spatial_sharding
 from .sample.sampler import (
     ddim_sample_loop,
     p_sample_loop,
@@ -266,7 +266,7 @@ class DiffusionEngine:
 
     def generate_images(
         self, n=1, minibatch=4, mean_only=False, seed=None, use_ema=True,
-        num_sample_steps=None, ddim=False, ddim_eta=0.0,
+        num_sample_steps=None, ddim=False, ddim_eta=0.0, shard_mode="batch",
     ) -> np.ndarray:
         """Batched generation (reference engine.py:556-574), with optional
         strided/DDIM fast sampling (BASELINE config #3 extension)."""
@@ -286,7 +286,12 @@ class DiffusionEngine:
             key, knoise, kloop = jax.random.split(key, 3)
             x_t = jax.random.normal(knoise, shape, jnp.float32)
             if self.mesh is not None:
-                x_t = jax.device_put(x_t, data_sharding(self.mesh, x_t.ndim))
+                shard = (
+                    spatial_sharding(self.mesh)
+                    if shard_mode == "spatial"
+                    else data_sharding(self.mesh, x_t.ndim)
+                )
+                x_t = jax.device_put(x_t, shard)
             if ddim:
                 x = ddim_sample_loop(
                     self._apply, params, tables, x_t, kloop, eta=ddim_eta,

@@ -1,1 +1,9 @@
-from .mesh import DATA_AXIS, P, data_sharding, make_mesh, replicated, shard_batch
+from .mesh import (
+    DATA_AXIS,
+    P,
+    data_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+    spatial_sharding,
+)

@@ -18,7 +18,10 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "data_sharding", "replicated", "shard_batch", "P"]
+__all__ = [
+    "make_mesh", "data_sharding", "spatial_sharding", "replicated",
+    "shard_batch", "P",
+]
 
 DATA_AXIS = "data"
 
@@ -36,6 +39,19 @@ def make_mesh(
 def data_sharding(mesh: Mesh, ndim: int, axis_name: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dim over the data axis, replicate the rest."""
     return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
+
+
+def spatial_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
+    """Shard NHWC images over the HEIGHT axis (sequence-parallel analogue).
+
+    XLA's SPMD partitioner spatially partitions the whole UNet under this
+    sharding — conv halo exchanges and attention all-gathers are inserted
+    automatically — so a few large images (e.g. 256x256 CelebA-HQ sampling,
+    BASELINE config #5) can be split across a slice even when the batch is
+    smaller than the device count.  Verified equal to the single-device
+    forward to f32 rounding in tests/test_parallel.py.
+    """
+    return NamedSharding(mesh, P(None, axis_name, None, None))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
