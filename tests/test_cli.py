@@ -1,0 +1,103 @@
+"""In-process CLI integration: train -> eval -> fid-debug on a tiny config.
+
+Exercises the composed config path, run-dir artifacts, checkpoint reload by
+the downstream CLIs, and the NLL/FID entry points — the full user surface
+(reference scripts/train.py, eval.py, fid_debug.py flows).
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from probabilisticdeepdiffusionmodels_tpu.config import load_config
+
+TINY = [
+    "model=unet_small_grey",
+    "data=synthetic",
+    "data.channels=1",
+    "data.n=64",
+    "data.batch_size=32",
+    "data.transformation_kwargs.normalize=mnist",
+    "engine=mnist",
+    "engine.resolution=8",
+    "engine.diffusion_steps=12",
+    "engine.mode=cosine",  # the 1000/T-scaled linear ramp degenerates at tiny T
+    "engine.ema=0.9",
+    "trainer.max_epochs=2",
+    "trainer.check_val_every_n_epoch=1",
+    "trainer.limit_test_batches=1",
+    "visualization=none",
+    "run_name=cli_e2e",
+]
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    out_dir = tmp_path_factory.mktemp("runs")
+    from probabilisticdeepdiffusionmodels_tpu.cli.train import main as train_main
+
+    result = train_main(TINY + [f"out_dir={out_dir}"])
+    return out_dir, result
+
+
+def test_train_cli_end_to_end(trained_run):
+    out_dir, result = trained_run
+    run_dir = Path(result["run_dir"])
+    assert result["steps"] == 4
+    assert np.isfinite(result["best_val_loss"])
+    assert np.isfinite(result["test_nll"])
+    assert (run_dir / "experiment_config.yaml").exists()
+    assert (run_dir / "metrics.jsonl").exists()
+    assert any((run_dir / "checkpoints").iterdir())
+
+
+def test_eval_cli_on_trained_run(trained_run):
+    out_dir, result = trained_run
+    from probabilisticdeepdiffusionmodels_tpu.cli.eval import run_eval
+
+    cfg = load_config("eval", [
+        f"run_dir={result['run_dir']}", "use_train_data=false",
+        "trainer.limit_test_batches=1",
+    ])
+    metrics = run_eval(cfg)
+    for k in ("test_nll", "test_L_0", "test_L_intermediate", "test_L_T"):
+        assert np.isfinite(metrics[k]), (k, metrics)
+
+
+def test_runs_cli_lists_trained_run(trained_run, capsys):
+    out_dir, result = trained_run
+    from probabilisticdeepdiffusionmodels_tpu.cli.runs import main as runs_main
+
+    assert runs_main(["list", str(out_dir)]) == 0
+    out = capsys.readouterr().out
+    assert "cli_e2e" in out and "val_loss" in out
+
+
+def test_fid_debug_cli_with_tiny_features(trained_run, monkeypatch):
+    """fid_debug flow with a cheap feature fn (full inception is too slow
+    for CI; the real extractor is covered in test_evals + TPU drives)."""
+    import jax.numpy as jnp
+
+    import probabilisticdeepdiffusionmodels_tpu.evals.fid as fid_mod
+
+    def cheap_features(batches, inception_params=None, feature_fn=None):
+        def feat(x):
+            b = x.shape[0]
+            return jnp.stack(
+                [jnp.mean(x, axis=(1, 2, 3)),
+                 jnp.std(x.reshape(b, -1), axis=1)], axis=-1)
+        stats = fid_mod.ActivationStats()
+        for b in batches:
+            stats.update(np.asarray(feat(jnp.asarray(b, jnp.float32))))
+        return stats.finalize()
+
+    monkeypatch.setattr(fid_mod, "compute_statistics", cheap_features)
+
+    from probabilisticdeepdiffusionmodels_tpu.cli.train import build_loaders
+
+    cfg = load_config("default", TINY)
+    tr, va = build_loaders(cfg)
+    fid = fid_mod.compute_fid_for_loaders(tr, va, normalize="mnist", limit=32)
+    assert np.isfinite(fid) and fid >= 0
