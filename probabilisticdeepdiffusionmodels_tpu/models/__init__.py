@@ -59,6 +59,7 @@ def get_unet(
     learn_sigma: bool = False,
     compute_dtype: str = "float32",
     use_pallas_attention: bool = False,
+    use_pallas_gn: bool = False,
     _cls=UNetModel,
 ):
     if dims != 2:
@@ -79,5 +80,6 @@ def get_unet(
         num_heads_upsample=num_heads_upsample,
         use_scale_shift_norm=use_scale_shift_norm,
         use_pallas_attention=use_pallas_attention,
+        use_pallas_gn=use_pallas_gn,
         dtype=_DTYPES[compute_dtype],
     )

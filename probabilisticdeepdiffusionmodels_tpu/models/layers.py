@@ -114,6 +114,23 @@ class Linear(nn.Module):
         )(x)
 
 
+class _Affine(nn.Module):
+    """Bare scale/bias params with nn.GroupNorm's naming, for fused kernels."""
+
+    features: int
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), self.param_dtype
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), self.param_dtype
+        )
+        return scale, bias
+
+
 class GroupNorm32(nn.Module):
     """GroupNorm(32, C) computed in float32, output cast back to the input
     dtype (reference src/modules/nn.py:18-20, 94-101).
@@ -122,10 +139,17 @@ class GroupNorm32(nn.Module):
     divisible; the reference always uses channel counts divisible by 32
     except tiny test configs, where we mirror torch's requirement that
     C % num_groups == 0 by reducing groups to gcd(32, C).
+
+    ``use_pallas=True`` (4-D inputs) routes through the fused Pallas
+    GN(+SiLU) kernel — same param tree (scale/bias under "norm"), Pallas
+    forward, XLA-derived backward — and ``fuse_silu`` folds the activation
+    into the kernel.
     """
 
     num_groups: int = 32
     epsilon: float = 1e-5
+    use_pallas: bool = False
+    fuse_silu: bool = False
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -133,6 +157,15 @@ class GroupNorm32(nn.Module):
         channels = x.shape[-1]
         groups = math.gcd(self.num_groups, channels)
         orig_dtype = x.dtype
+        if self.use_pallas and x.ndim == 4 and channels % groups == 0:
+            from ..ops.groupnorm_pallas import group_norm_silu
+
+            scale, bias = _Affine(
+                channels, param_dtype=self.param_dtype, name="norm"
+            )()
+            return group_norm_silu(
+                x, scale, bias, groups, self.epsilon, self.fuse_silu
+            )
         y = nn.GroupNorm(
             num_groups=groups,
             epsilon=self.epsilon,
@@ -140,7 +173,10 @@ class GroupNorm32(nn.Module):
             param_dtype=self.param_dtype,
             name="norm",
         )(x.astype(jnp.float32))
-        return y.astype(orig_dtype)
+        y = y.astype(orig_dtype)
+        if self.fuse_silu:
+            y = silu(y)
+        return y
 
 
 def silu(x: jax.Array) -> jax.Array:

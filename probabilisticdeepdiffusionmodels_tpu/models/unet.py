@@ -57,14 +57,16 @@ class ResBlock(nn.Module):
     dropout: float = 0.0
     use_conv_skip: bool = False          # 3x3 skip instead of 1x1
     use_scale_shift_norm: bool = False
+    use_pallas_gn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, *, train: bool = False):
         in_channels = x.shape[-1]
 
-        h = GroupNorm32(name="in_norm")(x)
-        h = silu(h)
+        h = GroupNorm32(
+            use_pallas=self.use_pallas_gn, fuse_silu=True, name="in_norm"
+        )(x)
         h = Conv(self.out_channels, (3, 3), dtype=self.dtype, name="in_conv")(h)
 
         emb_out = Linear(
@@ -75,12 +77,15 @@ class ResBlock(nn.Module):
         emb_out = emb_out[:, None, None, :]
 
         if self.use_scale_shift_norm:
+            # affine between GN and SiLU: not fusable
             scale, shift = jnp.split(emb_out, 2, axis=-1)
             h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+            h = silu(h)
         else:
             h = h + emb_out
-            h = GroupNorm32(name="out_norm")(h)
-        h = silu(h)
+            h = GroupNorm32(
+                use_pallas=self.use_pallas_gn, fuse_silu=True, name="out_norm"
+            )(h)
         h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
         h = Conv(
             self.out_channels, (3, 3), zero_init=True, dtype=self.dtype,
@@ -180,6 +185,7 @@ class UNetModel(nn.Module):
     num_heads_upsample: int = -1
     use_scale_shift_norm: bool = False
     use_pallas_attention: bool = False
+    use_pallas_gn: bool = False
     dtype: Dtype = jnp.float32
 
     def _embed(self, timesteps, y):
@@ -276,6 +282,7 @@ class UNetModel(nn.Module):
                     h = rb(
                         dropout=self.dropout,
                         use_scale_shift_norm=self.use_scale_shift_norm,
+                        use_pallas_gn=self.use_pallas_gn,
                         dtype=self.dtype,
                         name=name,
                         **kw,
@@ -339,6 +346,7 @@ class SuperResModel(nn.Module):
     num_heads_upsample: int = -1
     use_scale_shift_norm: bool = False
     use_pallas_attention: bool = False
+    use_pallas_gn: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -362,6 +370,7 @@ class SuperResModel(nn.Module):
             num_heads_upsample=self.num_heads_upsample,
             use_scale_shift_norm=self.use_scale_shift_norm,
             use_pallas_attention=self.use_pallas_attention,
+            use_pallas_gn=self.use_pallas_gn,
             dtype=self.dtype,
             name="unet",
         )(x, timesteps, y, train=train, return_features=return_features)

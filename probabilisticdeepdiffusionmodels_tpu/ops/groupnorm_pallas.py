@@ -78,6 +78,37 @@ def _gn_kernel(x_ref, gamma_ref, beta_ref, out_ref, *, num_groups, eps, silu, hw
     out_ref[0] = y.astype(out_ref.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def group_norm_silu(
+    x: jax.Array, gamma: jax.Array, beta: jax.Array,
+    num_groups: int = 32, eps: float = 1e-5, silu: bool = True,
+) -> jax.Array:
+    """Differentiable fused GN(+SiLU): Pallas forward, XLA-derived backward.
+
+    The backward pass rematerializes through the XLA reference path (exact
+    same math), so the op is trainable while the forward enjoys the fused
+    VMEM schedule."""
+    return group_norm_silu_pallas(x, gamma, beta, num_groups, eps, silu)
+
+
+def _gns_fwd(x, gamma, beta, num_groups, eps, silu):
+    return group_norm_silu(x, gamma, beta, num_groups, eps, silu), (x, gamma, beta)
+
+
+def _gns_bwd(num_groups, eps, silu, res, g):
+    x, gamma, beta = res
+    _, vjp = jax.vjp(
+        lambda x, gamma, beta: group_norm_silu_xla(
+            x, gamma, beta, num_groups, eps, silu
+        ),
+        x, gamma, beta,
+    )
+    return vjp(g)
+
+
+group_norm_silu.defvjp(_gns_fwd, _gns_bwd)
+
+
 def group_norm_silu_pallas(
     x: jax.Array, gamma: jax.Array, beta: jax.Array,
     num_groups: int = 32, eps: float = 1e-5, silu: bool = True,
