@@ -209,3 +209,24 @@ def test_strided_sampling_runs():
         timestep_map=jnp.asarray(tmap),
     )
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddim_matches_reference_formula():
+    """DDIM update vs the standard formulas recomputed in torch:
+    x_{t-1} = sqrt(ab_prev) x0 + sqrt(1 - ab_prev) eps  (eta=0)."""
+    sched, tables, x_T, _ = setup()
+    x = torch.from_numpy(x_T.copy())
+    sr = torch.from_numpy(sched.sqrt_recip_alphas_hat)
+    srm1 = torch.from_numpy(sched.sqrt_recipm1_alphas_hat)
+    ab = torch.from_numpy(sched.alphas_hat)
+    ab_prev = torch.from_numpy(sched.alphas_hat_prev)
+    for t in range(T, 0, -1):
+        tl = t - 1
+        eps = torch.from_numpy((EPS_COEF * x.numpy()).copy())
+        x0 = (sr[tl] * x - srm1[tl] * eps).clamp(-1, 1)
+        x = torch.sqrt(ab_prev[tl]) * x0 + torch.sqrt(1.0 - ab_prev[tl]) * eps
+    ref = x.numpy()
+    ours = np.asarray(
+        ddim_sample_loop(apply_fn, None, tables, jnp.asarray(x_T), clip=True)
+    )
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
