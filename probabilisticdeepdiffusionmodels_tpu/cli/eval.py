@@ -32,10 +32,10 @@ def run_eval(cfg) -> dict:
     seed = int(cfg.get("seed", 0) or 0)
 
     agg: dict = {}
-    for i, (x, _) in enumerate(loader):
+    for i, (x, y) in enumerate(loader):
         if limit is not None and i >= int(limit):
             break
-        m = engine.test_step(x, seed=seed + i)
+        m = engine.test_step(x, seed=seed + i, y=y)
         for k, v in m.items():
             agg.setdefault(k, []).append(v)
     result = {k: float(np.mean(v)) for k, v in agg.items()}

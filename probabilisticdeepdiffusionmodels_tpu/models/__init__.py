@@ -62,9 +62,12 @@ def get_unet(
     use_pallas_gn: bool = False,
     _cls=UNetModel,
 ):
-    if dims != 2:
-        raise NotImplementedError("TPU build currently supports 2-D images")
+    if dims not in (1, 2, 3):
+        raise ValueError(f"dims must be 1, 2 or 3, got {dims}")
+    if dims != 2 and _cls is SuperResModel:
+        raise NotImplementedError("SuperResModel is 2-D (bilinear low_res)")
     attention_ds = tuple(resolution // int(res) for res in attention_resolutions)
+    kwargs = {} if _cls is SuperResModel else {"dims": dims}
     return _cls(
         in_channels=in_channels,
         model_channels=model_channels,
@@ -82,4 +85,5 @@ def get_unet(
         use_pallas_attention=use_pallas_attention,
         use_pallas_gn=use_pallas_gn,
         dtype=_DTYPES[compute_dtype],
+        **kwargs,
     )

@@ -189,12 +189,31 @@ def avg_pool_2d(x: jax.Array, window: int = 2) -> jax.Array:
     return nn.avg_pool(x, (window, window), strides=(window, window))
 
 
+def avg_pool_nd(x: jax.Array, window: int = 2) -> jax.Array:
+    """Stride-`window` average pool over every spatial dim of a
+    channels-last (B, *spatial, C) array — the 1/2/3-D dispatch the
+    reference does with avg_pool_nd (src/modules/nn.py:55-67)."""
+    dims = x.ndim - 2
+    return nn.avg_pool(x, (window,) * dims, strides=(window,) * dims)
+
+
 def nearest_upsample_2d(x: jax.Array) -> jax.Array:
     """Nearest-neighbor 2x upsample, NHWC (reference src/modules/unet.py:72-79)."""
     b, h, w, c = x.shape
     x = x[:, :, None, :, None, :]
     x = jnp.broadcast_to(x, (b, h, 2, w, 2, c))
     return x.reshape(b, h * 2, w * 2, c)
+
+
+def nearest_upsample_nd(x: jax.Array) -> jax.Array:
+    """Nearest-neighbor 2x upsample over every spatial dim, channels-last.
+    The reference's Upsample supports dims 1/2/3 via F.interpolate
+    (src/modules/unet.py:54-82)."""
+    if x.ndim == 4:
+        return nearest_upsample_2d(x)
+    for axis in range(1, x.ndim - 1):
+        x = jnp.repeat(x, 2, axis=axis)
+    return x
 
 
 def bilinear_resize(x: jax.Array, height: int, width: int) -> jax.Array:

@@ -40,9 +40,9 @@ from .layers import (
     Conv,
     GroupNorm32,
     Linear,
-    avg_pool_2d,
+    avg_pool_nd,
     bilinear_resize,
-    nearest_upsample_2d,
+    nearest_upsample_nd,
     silu,
 )
 
@@ -58,23 +58,25 @@ class ResBlock(nn.Module):
     use_conv_skip: bool = False          # 3x3 skip instead of 1x1
     use_scale_shift_norm: bool = False
     use_pallas_gn: bool = False
+    dims: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, emb: jax.Array, *, train: bool = False):
         in_channels = x.shape[-1]
+        k3, k1 = (3,) * self.dims, (1,) * self.dims
 
         h = GroupNorm32(
             use_pallas=self.use_pallas_gn, fuse_silu=True, name="in_norm"
         )(x)
-        h = Conv(self.out_channels, (3, 3), dtype=self.dtype, name="in_conv")(h)
+        h = Conv(self.out_channels, k3, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = Linear(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
             dtype=self.dtype,
             name="emb_proj",
         )(silu(emb)).astype(h.dtype)
-        emb_out = emb_out[:, None, None, :]
+        emb_out = emb_out.reshape(emb_out.shape[0], *(1,) * self.dims, -1)
 
         if self.use_scale_shift_norm:
             # affine between GN and SiLU: not fusable
@@ -88,16 +90,16 @@ class ResBlock(nn.Module):
             )(h)
         h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
         h = Conv(
-            self.out_channels, (3, 3), zero_init=True, dtype=self.dtype,
+            self.out_channels, k3, zero_init=True, dtype=self.dtype,
             name="out_conv",
         )(h)
 
         if self.out_channels == in_channels:
             skip = x
         elif self.use_conv_skip:
-            skip = Conv(self.out_channels, (3, 3), dtype=self.dtype, name="skip_conv")(x)
+            skip = Conv(self.out_channels, k3, dtype=self.dtype, name="skip_conv")(x)
         else:
-            skip = Conv(self.out_channels, (1, 1), dtype=self.dtype, name="skip_conv")(x)
+            skip = Conv(self.out_channels, k1, dtype=self.dtype, name="skip_conv")(x)
         return skip + h
 
 
@@ -117,41 +119,45 @@ class AttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        b, h, w, c = x.shape
-        tokens = x.reshape(b, h * w, c)
+        b, c = x.shape[0], x.shape[-1]
+        spatial = x.shape[1:-1]
+        tokens = x.reshape(b, -1, c)
         y = GroupNorm32(name="norm")(tokens)
         qkv = Conv(3 * c, (1,), dtype=self.dtype, name="qkv")(y)
         out = qkv_attention(qkv, self.num_heads, use_pallas=self.use_pallas)
         out = Conv(c, (1,), zero_init=True, dtype=self.dtype, name="proj")(out)
-        return (tokens + out).reshape(b, h, w, c)
+        return (tokens + out).reshape(b, *spatial, c)
 
 
 class Downsample(nn.Module):
     """Stride-2 conv or avg-pool (reference src/modules/unet.py:85-108)."""
 
     use_conv: bool = True
+    dims: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.use_conv:
             return Conv(
-                x.shape[-1], (3, 3), strides=(2, 2), dtype=self.dtype, name="op"
+                x.shape[-1], (3,) * self.dims, strides=(2,) * self.dims,
+                dtype=self.dtype, name="op",
             )(x)
-        return avg_pool_2d(x, 2)
+        return avg_pool_nd(x, 2)
 
 
 class Upsample(nn.Module):
     """Nearest 2x upsample + optional conv (reference src/modules/unet.py:54-82)."""
 
     use_conv: bool = True
+    dims: int = 2
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nearest_upsample_2d(x)
+        x = nearest_upsample_nd(x)
         if self.use_conv:
-            x = Conv(x.shape[-1], (3, 3), dtype=self.dtype, name="conv")(x)
+            x = Conv(x.shape[-1], (3,) * self.dims, dtype=self.dtype, name="conv")(x)
         return x
 
 
@@ -186,6 +192,7 @@ class UNetModel(nn.Module):
     use_scale_shift_norm: bool = False
     use_pallas_attention: bool = False
     use_pallas_gn: bool = False
+    dims: int = 2                       # spatial rank: 1, 2 or 3
     dtype: Dtype = jnp.float32
 
     def _embed(self, timesteps, y):
@@ -283,6 +290,7 @@ class UNetModel(nn.Module):
                         dropout=self.dropout,
                         use_scale_shift_norm=self.use_scale_shift_norm,
                         use_pallas_gn=self.use_pallas_gn,
+                        dims=self.dims,
                         dtype=self.dtype,
                         name=name,
                         **kw,
@@ -291,13 +299,16 @@ class UNetModel(nn.Module):
                     h = ab(dtype=self.dtype, use_pallas=self.use_pallas_attention,
                            name=name, **kw)(h)
                 elif kind == "down":
-                    h = Downsample(self.conv_resample, dtype=self.dtype, name=name)(h)
+                    h = Downsample(self.conv_resample, dims=self.dims,
+                                   dtype=self.dtype, name=name)(h)
                 elif kind == "up":
-                    h = Upsample(self.conv_resample, dtype=self.dtype, name=name)(h)
+                    h = Upsample(self.conv_resample, dims=self.dims,
+                                 dtype=self.dtype, name=name)(h)
             return h
 
         hs = []
-        h = Conv(self.model_channels, (3, 3), dtype=self.dtype, name="in_conv")(h)
+        h = Conv(self.model_channels, (3,) * self.dims, dtype=self.dtype,
+                 name="in_conv")(h)
         hs.append(h)
         features["down"].append(h.astype(in_dtype))
         for idx, entry in enumerate(encoder):
@@ -321,7 +332,8 @@ class UNetModel(nn.Module):
         h = h.astype(in_dtype)
         h = GroupNorm32(name="out_norm")(h)
         h = silu(h)
-        h = Conv(self.out_channels, (3, 3), zero_init=True, name="out_conv")(h)
+        h = Conv(self.out_channels, (3,) * self.dims, zero_init=True,
+                 name="out_conv")(h)
         return h
 
 

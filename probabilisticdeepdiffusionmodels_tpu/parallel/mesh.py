@@ -29,9 +29,20 @@ DATA_AXIS = "data"
 def make_mesh(
     n_devices: Optional[int] = None, axis_name: str = DATA_AXIS
 ) -> Mesh:
-    """1-D data-parallel mesh over the first n devices (default: all)."""
+    """1-D data-parallel mesh over the first n devices (default: all).
+
+    Raises if fewer than ``n_devices`` are available — a silently smaller
+    mesh would make SPMD dry-runs pass without exercising any sharding.
+    """
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"make_mesh({n_devices}): only {len(devices)} "
+                f"{devices[0].platform} device(s) available; run with "
+                f"JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
+                f"device_count={n_devices} to fake a slice"
+            )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

@@ -80,6 +80,7 @@ def make_train_step(
     loss_type: str = "simple",
     vlb_weight: float = 1e-3,
     dropout: bool = False,
+    watch: bool = False,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the pure train step: (state, x0 [, y]) -> (state, metrics).
 
@@ -134,6 +135,14 @@ def make_train_step(
             "loss": loss,
             "grad_norm": global_norm(grads),
         }
+        if watch:
+            # per-module gradient norms, on device (the reference gets
+            # gradient histograms from wandb logger.watch,
+            # scripts/train.py:136-137; scalars per top-level module are the
+            # sync-free equivalent)
+            metrics["grad_norm_per_module"] = {
+                k: global_norm(v) for k, v in grads.items()
+            }
         if "vlb" in aux:
             metrics["vlb"] = aux["vlb"]
         return state, metrics

@@ -104,3 +104,45 @@ def test_all_reference_config_groups_exist():
             assert (CONFIG_DIR / group / f"{n}.yaml").exists(), f"{group}/{n}"
     for root in ("default", "sample", "eval"):
         assert (CONFIG_DIR / f"{root}.yaml").exists()
+
+
+def test_multihost_shards_partition_epoch_exactly():
+    """shard_id/num_shards loaders on identically-seeded hosts must (a) draw
+    the same global epoch order and (b) take pairwise-disjoint slices whose
+    union is the whole epoch — the DCN-side contract of the SPMD input
+    pipeline (SURVEY.md §5.8; VERDICT r1 next #9)."""
+    import numpy as np
+
+    from probabilisticdeepdiffusionmodels_tpu.data.datasets import (
+        ArrayDataset,
+        DataLoader,
+    )
+
+    n = 64
+    images = np.zeros((n, 8, 8, 1), np.uint8)
+    labels = np.arange(n, dtype=np.int32)  # unique ids to track identity
+    ds = ArrayDataset(images, labels)
+
+    num_shards = 4
+    shard_ids = []
+    for shard in range(num_shards):
+        loader = DataLoader(
+            ds, batch_size=4, train=True, seed=5,
+            shard_id=shard, num_shards=num_shards, drop_last=False,
+        )
+        got = np.concatenate([y for _, y in loader])
+        assert len(got) == n // num_shards  # exact equal split
+        shard_ids.append(got)
+
+    all_ids = np.concatenate(shard_ids)
+    assert len(all_ids) == n
+    assert set(all_ids.tolist()) == set(range(n))  # disjoint + exhaustive
+
+    # identically-seeded re-run of one shard draws the same slice
+    again = np.concatenate([
+        y for _, y in DataLoader(
+            ds, batch_size=4, train=True, seed=5,
+            shard_id=2, num_shards=num_shards, drop_last=False,
+        )
+    ])
+    np.testing.assert_array_equal(again, shard_ids[2])

@@ -136,3 +136,85 @@ def test_inception_architecture_shapes():
     feats = inception_pool_features(params, preprocess(x))
     assert feats.shape == (2, 2048)
     assert np.all(np.isfinite(np.asarray(feats)))
+
+
+def _torch_pool_features(sd, x_nhwc: np.ndarray) -> np.ndarray:
+    """Run the torch mirror of pytorch-fid's graph on NHWC [-1,1] input."""
+    from _torch_inception import FIDInceptionTorch
+
+    model = FIDInceptionTorch()
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    # everything except BN num_batches_tracked must match
+    assert not [m for m in missing if "num_batches_tracked" not in m], missing
+    assert not unexpected, unexpected
+    model.eval()
+    with torch.no_grad():
+        xt = torch.from_numpy(np.ascontiguousarray(x_nhwc.transpose(0, 3, 1, 2)))
+        return model(xt).numpy()
+
+
+def test_inception_weight_port_parity_random_statedict():
+    """The torch->JAX port (OIHW->HWIO transpose + BN fold,
+    evals/inception.py params_from_torch_state_dict) verified WITHOUT the
+    real checkpoint: any state dict with the right shapes exposes a
+    transposition or fold error (VERDICT r1 weak #4).  The torch side is a
+    self-contained restatement of pytorch-fid's patched graph
+    (tests/_torch_inception.py)."""
+    from _torch_inception import FIDInceptionTorch
+    from probabilisticdeepdiffusionmodels_tpu.evals.inception import (
+        inception_pool_features,
+        params_from_torch_state_dict,
+    )
+
+    torch.manual_seed(0)
+    model = FIDInceptionTorch()
+    sd = model.state_dict()
+    # non-trivial BN running stats so a fold error can't hide
+    g = torch.Generator().manual_seed(1)
+    for k in list(sd):
+        if k.endswith("running_mean"):
+            sd[k] = torch.randn(sd[k].shape, generator=g) * 0.1
+        elif k.endswith("running_var"):
+            sd[k] = torch.rand(sd[k].shape, generator=g) + 0.5
+
+    rng = np.random.RandomState(0)
+    x = (rng.rand(2, 299, 299, 3).astype(np.float32) * 2.0 - 1.0)
+
+    ref = _torch_pool_features(sd, x)
+    params = params_from_torch_state_dict(sd)
+    got = np.asarray(inception_pool_features(params, jnp.asarray(x)))
+    assert got.shape == ref.shape == (2, 2048)
+    np.testing.assert_allclose(got, ref, atol=2e-3, rtol=1e-3)
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("PDDM_INCEPTION_WEIGHTS"),
+    reason="needs PDDM_INCEPTION_WEIGHTS (pytorch-fid checkpoint)",
+)
+def test_inception_weight_port_parity_real_checkpoint():
+    """With the real pt_inception checkpoint: JAX pool features must match
+    the torch graph within 1e-3 — makes the 'FID within 2%' BASELINE target
+    falsifiable (reference pipeline: src/modules/fid_score.py:57-72)."""
+    import os
+
+    from probabilisticdeepdiffusionmodels_tpu.evals.inception import (
+        inception_pool_features,
+        params_from_torch_state_dict,
+        preprocess,
+    )
+
+    sd = torch.load(
+        os.environ["PDDM_INCEPTION_WEIGHTS"], map_location="cpu",
+        weights_only=False,
+    )
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+
+    rng = np.random.RandomState(0)
+    x01 = rng.rand(2, 64, 64, 3).astype(np.float32)  # [0,1] images
+    x = np.asarray(preprocess(jnp.asarray(x01)))     # resize + [-1,1]
+
+    ref = _torch_pool_features(sd, x)
+    params = params_from_torch_state_dict(sd)
+    got = np.asarray(inception_pool_features(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)

