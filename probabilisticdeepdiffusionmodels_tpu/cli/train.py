@@ -146,6 +146,11 @@ def run_training(cfg) -> dict:
     test_metrics = {k: float(np.mean(v)) for k, v in test_metrics.items()}
     logger.log(test_metrics, step=result["steps"])
     print(f"[train] done: {result} test: {test_metrics}")
+    import json
+
+    (run_dir.path / "final_test.json").write_text(
+        json.dumps({**result, **test_metrics}, default=float)
+    )
     logger.close()
     return {**result, **test_metrics, "run_dir": str(run_dir.path)}
 

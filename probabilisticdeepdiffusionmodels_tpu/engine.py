@@ -107,6 +107,7 @@ class DiffusionEngine:
         in_channels: Optional[int] = None,
         steps_per_epoch: Optional[int] = None,
         watch: bool = False,
+        encoder_reuse: int = 1,
     ):
         self.hparams = dict(
             model_config=dict(model_config),
@@ -127,7 +128,11 @@ class DiffusionEngine:
             loss_type=loss_type,
             grad_clip=grad_clip,
             accumulate_grad_batches=accumulate_grad_batches,
+            encoder_reuse=encoder_reuse,
         )
+        # sampling acceleration: run the UNet encoder every k-th step only
+        # (Faster Diffusion, arXiv:2312.09608); 1 = exact sampling
+        self.encoder_reuse = int(encoder_reuse or 1)
         self.diffusion_steps = diffusion_steps
         self.resolution = resolution
         self.sigma_mode = sigma_mode
@@ -365,13 +370,15 @@ class DiffusionEngine:
     def generate_images(
         self, n=1, minibatch=4, mean_only=False, seed=None, use_ema=True,
         num_sample_steps=None, ddim=False, ddim_eta=0.0, shard_mode="batch",
-        y=None,
+        y=None, encoder_reuse=None,
     ) -> np.ndarray:
         """Batched generation (reference engine.py:556-574), with optional
         strided/DDIM fast sampling (BASELINE config #3 extension).
 
         ``y``: per-image conditioning of length n — class labels for a
-        class-conditional UNet, low-res images for SuperResModel."""
+        class-conditional UNet, low-res images for SuperResModel.
+        ``encoder_reuse``: override the engine-level encoder-reuse interval
+        for this call (k>1 approximate, k=1 exact)."""
         tables, tmap, _ = self._sample_tables(num_sample_steps)
         if y is not None:
             y = jnp.asarray(y)
@@ -407,9 +414,23 @@ class DiffusionEngine:
                     "ddim", eta=ddim_eta, clip=self.clip_while_generating,
                 )
             else:
+                reuse = int(
+                    encoder_reuse
+                    if encoder_reuse is not None
+                    else self.encoder_reuse
+                )
+                if reuse > 1:
+                    from .models.unet import SuperResModel, UNetModel
+
+                    if not isinstance(self.model, (UNetModel, SuperResModel)):
+                        raise ValueError(
+                            "encoder_reuse>1 requires a UNet-family model "
+                            "(the encoder cache is a UNet concept)"
+                        )
                 fn = self._sample_jit(
                     "p", sigma_mode=self.sigma_mode,
                     clip=self.clip_while_generating, mean_only=mean_only,
+                    encoder_reuse=reuse,
                 )
             x = fn(params, tables, x_t, kloop, y_chunk, tmap)
             images.append(np.asarray(x))

@@ -60,6 +60,7 @@ def get_unet(
     compute_dtype: str = "float32",
     use_pallas_attention: bool = False,
     use_pallas_gn: bool = False,
+    use_pallas_conv: bool = False,
     _cls=UNetModel,
 ):
     if dims not in (1, 2, 3):
@@ -84,6 +85,7 @@ def get_unet(
         use_scale_shift_norm=use_scale_shift_norm,
         use_pallas_attention=use_pallas_attention,
         use_pallas_gn=use_pallas_gn,
+        use_pallas_conv=use_pallas_conv,
         dtype=_DTYPES[compute_dtype],
         **kwargs,
     )

@@ -49,12 +49,47 @@ def torch_bias_init(fan_in: int, dtype=jnp.float32) -> Callable:
     return init
 
 
+class _ConvKernel(nn.Module):
+    """Bare conv kernel/bias params with nn.Conv's naming and init — lets
+    fused Pallas ops consume the exact same parameter tree that the
+    unfused ``Conv`` path creates (checkpoint-compatible either way)."""
+
+    features: int
+    kernel_size: Tuple[int, ...]
+    zero_init: bool = False
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        fan_in = in_features * int(np.prod(self.kernel_size))
+        if self.zero_init:
+            kernel_init = nn.initializers.zeros
+            bias_init = nn.initializers.zeros
+        else:
+            kernel_init = torch_conv_kernel_init(self.param_dtype)
+            bias_init = torch_bias_init(fan_in, self.param_dtype)
+        kernel = self.param(
+            "kernel",
+            kernel_init,
+            (*self.kernel_size, in_features, self.features),
+            self.param_dtype,
+        )
+        bias = self.param(
+            "bias", bias_init, (self.features,), self.param_dtype
+        )
+        return kernel, bias
+
+
 class Conv(nn.Module):
     """3x3/1x1 (or k^d) convolution with torch-default init.
 
     ``zero_init=True`` reproduces the reference's ``zero_module`` pattern
     (zeroed weight and bias, reference src/modules/nn.py:69-75) used for the
     last conv of every ResBlock / attention projection / final output conv.
+
+    ``params_only=True`` returns the (kernel, bias) arrays instead of
+    computing — same names, shapes and initializers — so fused Pallas ops
+    can take over the compute without changing the parameter tree.
     """
 
     features: int
@@ -65,8 +100,16 @@ class Conv(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, params_only: bool = False):
         in_features = x.shape[-1]
+        if params_only:
+            return _ConvKernel(
+                self.features,
+                self.kernel_size,
+                self.zero_init,
+                self.param_dtype,
+                name="conv",
+            )(in_features)
         fan_in = in_features * int(np.prod(self.kernel_size))
         if self.zero_init:
             kernel_init = nn.initializers.zeros
@@ -153,10 +196,16 @@ class GroupNorm32(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, *, params_only: bool = False):
         channels = x.shape[-1]
         groups = math.gcd(self.num_groups, channels)
         orig_dtype = x.dtype
+        if params_only:
+            # same tree as nn.GroupNorm(name="norm"): norm/{scale,bias}
+            scale, bias = _Affine(
+                channels, param_dtype=self.param_dtype, name="norm"
+            )()
+            return scale, bias, groups
         if self.use_pallas and x.ndim == 4 and channels % groups == 0:
             from ..ops.groupnorm_pallas import group_norm_silu
 

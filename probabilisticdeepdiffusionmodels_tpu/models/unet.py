@@ -51,13 +51,22 @@ Dtype = Any
 
 class ResBlock(nn.Module):
     """Residual block conditioned on the timestep embedding
-    (reference src/modules/unet.py:111-201)."""
+    (reference src/modules/unet.py:111-201).
+
+    ``use_pallas_conv`` routes both GN->SiLU->conv3x3 pipelines through the
+    fused Pallas kernel (ops/gn_conv_pallas.py) — the timestep-embedding add
+    (or FiLM scale/shift) folds into the kernel's affine prologue, so the
+    biased/normalized activations never round-trip HBM.  The parameter tree
+    is identical either way (params_only paths of GroupNorm32/Conv).
+    Falls back to the unfused path for non-2D inputs or an active dropout.
+    """
 
     out_channels: int
     dropout: float = 0.0
     use_conv_skip: bool = False          # 3x3 skip instead of 1x1
     use_scale_shift_norm: bool = False
     use_pallas_gn: bool = False
+    use_pallas_conv: bool = False
     dims: int = 2
     dtype: Dtype = jnp.float32
 
@@ -65,34 +74,70 @@ class ResBlock(nn.Module):
     def __call__(self, x: jax.Array, emb: jax.Array, *, train: bool = False):
         in_channels = x.shape[-1]
         k3, k1 = (3,) * self.dims, (1,) * self.dims
+        fused = (
+            self.use_pallas_conv
+            and self.dims == 2
+            and (self.dropout == 0.0 or not train)
+        )
 
-        h = GroupNorm32(
-            use_pallas=self.use_pallas_gn, fuse_silu=True, name="in_norm"
-        )(x)
-        h = Conv(self.out_channels, k3, dtype=self.dtype, name="in_conv")(h)
+        if fused:
+            from ..ops.gn_conv_pallas import gn_silu_conv3x3
+
+            g1, b1, groups1 = GroupNorm32(name="in_norm")(
+                x, params_only=True
+            )
+            w1, c1 = Conv(
+                self.out_channels, k3, dtype=self.dtype, name="in_conv"
+            )(x, params_only=True)
+            h = gn_silu_conv3x3(x, g1, b1, w1, c1, num_groups=groups1)
+        else:
+            h = GroupNorm32(
+                use_pallas=self.use_pallas_gn, fuse_silu=True, name="in_norm"
+            )(x)
+            h = Conv(self.out_channels, k3, dtype=self.dtype, name="in_conv")(h)
 
         emb_out = Linear(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
             dtype=self.dtype,
             name="emb_proj",
         )(silu(emb)).astype(h.dtype)
-        emb_out = emb_out.reshape(emb_out.shape[0], *(1,) * self.dims, -1)
 
-        if self.use_scale_shift_norm:
-            # affine between GN and SiLU: not fusable
-            scale, shift = jnp.split(emb_out, 2, axis=-1)
-            h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
-            h = silu(h)
+        if fused:
+            g2, b2, groups2 = GroupNorm32(name="out_norm")(
+                h, params_only=True
+            )
+            w2, c2 = Conv(
+                self.out_channels, k3, zero_init=True, dtype=self.dtype,
+                name="out_conv",
+            )(h, params_only=True)
+            if self.use_scale_shift_norm:
+                scale, shift = jnp.split(emb_out, 2, axis=-1)
+                h = gn_silu_conv3x3(
+                    h, g2, b2, w2, c2, num_groups=groups2,
+                    film=(scale, shift),
+                )
+            else:
+                h = gn_silu_conv3x3(
+                    h, g2, b2, w2, c2, num_groups=groups2, emb=emb_out
+                )
         else:
-            h = h + emb_out
-            h = GroupNorm32(
-                use_pallas=self.use_pallas_gn, fuse_silu=True, name="out_norm"
+            emb_sp = emb_out.reshape(emb_out.shape[0], *(1,) * self.dims, -1)
+            if self.use_scale_shift_norm:
+                # affine between GN and SiLU: not fusable by XLA
+                scale, shift = jnp.split(emb_sp, 2, axis=-1)
+                h = GroupNorm32(name="out_norm")(h) * (1 + scale) + shift
+                h = silu(h)
+            else:
+                h = h + emb_sp
+                h = GroupNorm32(
+                    use_pallas=self.use_pallas_gn, fuse_silu=True,
+                    name="out_norm",
+                )(h)
+            h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
+            h = Conv(
+                self.out_channels, k3, zero_init=True, dtype=self.dtype,
+                name="out_conv",
             )(h)
-        h = nn.Dropout(rate=self.dropout, deterministic=not train)(h)
-        h = Conv(
-            self.out_channels, k3, zero_init=True, dtype=self.dtype,
-            name="out_conv",
-        )(h)
 
         if self.out_channels == in_channels:
             skip = x
@@ -192,6 +237,7 @@ class UNetModel(nn.Module):
     use_scale_shift_norm: bool = False
     use_pallas_attention: bool = False
     use_pallas_gn: bool = False
+    use_pallas_conv: bool = False
     dims: int = 2                       # spatial rank: 1, 2 or 3
     dtype: Dtype = jnp.float32
 
@@ -268,12 +314,24 @@ class UNetModel(nn.Module):
         *,
         train: bool = False,
         return_features: bool = False,
+        cache: Optional[Tuple[jax.Array, Tuple[jax.Array, ...]]] = None,
+        return_cache: bool = False,
     ):
         """Forward pass; x is NHWC (reference forward: src/modules/unet.py:466-495).
 
         ``return_features=True`` reproduces ``get_feature_vectors``
         (reference src/modules/unet.py:497-527): returns a dict with 'down',
         'middle', 'up' activation lists instead of the output.
+
+        Encoder-feature caching (sampling acceleration, "Faster Diffusion"
+        arXiv:2312.09608 — absent in the reference):
+          * ``return_cache=True``: additionally return ``(h_enc, skips)`` —
+            the encoder output and the skip activations;
+          * ``cache=(h_enc, skips)``: SKIP the encoder entirely and reuse the
+            given features; only the (t-dependent) middle block and decoder
+            run.  The output then depends on the current input solely through
+            the cached features — callers use this for adjacent timesteps
+            where encoder features change slowly.
         """
         emb = self._embed(timesteps, y)
         rb, ab, encoder, middle, decoder = self._blocks()
@@ -290,6 +348,7 @@ class UNetModel(nn.Module):
                         dropout=self.dropout,
                         use_scale_shift_norm=self.use_scale_shift_norm,
                         use_pallas_gn=self.use_pallas_gn,
+                        use_pallas_conv=self.use_pallas_conv,
                         dims=self.dims,
                         dtype=self.dtype,
                         name=name,
@@ -306,15 +365,21 @@ class UNetModel(nn.Module):
                                  dtype=self.dtype, name=name)(h)
             return h
 
-        hs = []
-        h = Conv(self.model_channels, (3,) * self.dims, dtype=self.dtype,
-                 name="in_conv")(h)
-        hs.append(h)
-        features["down"].append(h.astype(in_dtype))
-        for idx, entry in enumerate(encoder):
-            h = run_entry(h, entry, "down", idx)
+        if cache is not None:
+            h, skips = cache
+            h = h.astype(self.dtype)
+            hs = [s.astype(self.dtype) for s in skips]
+        else:
+            hs = []
+            h = Conv(self.model_channels, (3,) * self.dims, dtype=self.dtype,
+                     name="in_conv")(h)
             hs.append(h)
             features["down"].append(h.astype(in_dtype))
+            for idx, entry in enumerate(encoder):
+                h = run_entry(h, entry, "down", idx)
+                hs.append(h)
+                features["down"].append(h.astype(in_dtype))
+        new_cache = (h, tuple(hs)) if return_cache else None
 
         h = run_entry(h, [middle[0]], "mid", 0)
         h = run_entry(h, [middle[1]], "mid", 1)
@@ -330,10 +395,20 @@ class UNetModel(nn.Module):
             return features
 
         h = h.astype(in_dtype)
-        h = GroupNorm32(name="out_norm")(h)
-        h = silu(h)
-        h = Conv(self.out_channels, (3,) * self.dims, zero_init=True,
-                 name="out_conv")(h)
+        if self.use_pallas_conv and self.dims == 2:
+            from ..ops.gn_conv_pallas import gn_silu_conv3x3
+
+            g, b2, groups = GroupNorm32(name="out_norm")(h, params_only=True)
+            w, c = Conv(self.out_channels, (3,) * 2, zero_init=True,
+                        name="out_conv")(h, params_only=True)
+            h = gn_silu_conv3x3(h, g, b2, w, c, num_groups=groups)
+        else:
+            h = GroupNorm32(name="out_norm")(h)
+            h = silu(h)
+            h = Conv(self.out_channels, (3,) * self.dims, zero_init=True,
+                     name="out_conv")(h)
+        if return_cache:
+            return h, new_cache
         return h
 
 
@@ -359,11 +434,12 @@ class SuperResModel(nn.Module):
     use_scale_shift_norm: bool = False
     use_pallas_attention: bool = False
     use_pallas_gn: bool = False
+    use_pallas_conv: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, timesteps, low_res=None, y=None, *, train=False,
-                 return_features=False):
+                 return_features=False, cache=None, return_cache=False):
         assert low_res is not None, "SuperResModel requires low_res"
         upsampled = bilinear_resize(low_res, x.shape[1], x.shape[2])
         x = jnp.concatenate([x, upsampled.astype(x.dtype)], axis=-1)
@@ -383,6 +459,8 @@ class SuperResModel(nn.Module):
             use_scale_shift_norm=self.use_scale_shift_norm,
             use_pallas_attention=self.use_pallas_attention,
             use_pallas_gn=self.use_pallas_gn,
+            use_pallas_conv=self.use_pallas_conv,
             dtype=self.dtype,
             name="unet",
-        )(x, timesteps, y, train=train, return_features=return_features)
+        )(x, timesteps, y, train=train, return_features=return_features,
+          cache=cache, return_cache=return_cache)

@@ -44,14 +44,25 @@ __all__ = [
 ]
 
 
-def _model_eps(apply_fn, params, tables, x, t, y, timestep_map=None):
-    """Model call; handles learned-sigma heads and respaced timestep maps."""
+def _model_eps(apply_fn, params, tables, x, t, y, timestep_map=None,
+               **model_kwargs):
+    """Model call; handles learned-sigma heads and respaced timestep maps.
+
+    ``model_kwargs`` (cache= / return_cache=) are forwarded to ``apply_fn``
+    only when present so plain ``(params, x, t, y)`` callables keep working.
+    """
     t_model = t if timestep_map is None else jnp.take(timestep_map, t - 1)
-    out = apply_fn(params, x, t_model, y)
+    out = apply_fn(params, x, t_model, y, **model_kwargs)
+    cache = None
+    if model_kwargs.get("return_cache"):
+        out, cache = out
     if out.shape[-1] == 2 * x.shape[-1]:
         eps, v = jnp.split(out, 2, axis=-1)
-        return eps, v
-    return out, None
+    else:
+        eps, v = out, None
+    if model_kwargs.get("return_cache"):
+        return eps, v, cache
+    return eps, v
 
 
 def _learned_sigma(tables, t, v, ndim):
@@ -79,12 +90,21 @@ def p_sample_loop(
     return_stds: bool = False,
     noise: Optional[jax.Array] = None,
     timestep_map: Optional[jax.Array] = None,
+    encoder_reuse: int = 1,
 ):
     """Ancestral sampling from t_start down to 1 in one lax.scan.
 
     ``noise``: optional pre-drawn z stack [t_start, *x.shape] (z for t=t_start
     first); used by parity harnesses to inject a reference RNG stream.
     Either ``key`` or ``noise`` must be given unless mean_only.
+
+    ``encoder_reuse=k`` (k>1) enables encoder-feature reuse ("Faster
+    Diffusion", arXiv:2312.09608): the UNet encoder runs only every k-th
+    step; in between, the decoder reruns on the cached skip features with
+    the fresh timestep embedding.  Exact when k=1 (default); an
+    approximation otherwise (the model must support cache=/return_cache=,
+    i.e. UNetModel).  Saves the encoder's share of FLOPs and HBM traffic on
+    (k-1)/k of the steps.
 
     Returns x_0, plus (if steps_to_return) the recorded intermediate steps
     [B, S, ...] in descending-t order, plus (if return_stds) the per-step
@@ -93,6 +113,16 @@ def p_sample_loop(
     T = t_start if t_start is not None else tables.diffusion_steps
     b = x_t.shape[0]
     img_ndim = x_t.ndim
+
+    if encoder_reuse and encoder_reuse > 1:
+        assert steps_to_return is None and not return_stds and noise is None, (
+            "encoder_reuse composes only with the plain sampling path"
+        )
+        return _p_sample_loop_encoder_reuse(
+            apply_fn, params, tables, x_t, key, int(encoder_reuse), T,
+            sigma_mode=sigma_mode, clip=clip, mean_only=mean_only, y=y,
+            timestep_map=timestep_map,
+        )
 
     if steps_to_return is not None:
         assert all(t < T for t in steps_to_return), "steps must be < t_start"
@@ -161,6 +191,73 @@ def p_sample_loop(
     if return_stds:
         results.append(jnp.concatenate([init_std[None], stds]))
     return results[0] if len(results) == 1 else tuple(results)
+
+
+def _p_sample_loop_encoder_reuse(
+    apply_fn, params, tables, x_t, key, k, T, *,
+    sigma_mode, clip, mean_only, y, timestep_map,
+):
+    """Ancestral sampling with the encoder run every k-th step only.
+
+    Steps are grouped into segments of k: the first step of a segment runs
+    the full UNet and records the encoder cache; the k-1 following steps run
+    middle+decoder on that cache with fresh timestep embeddings.  The scan
+    carries only x — each segment rebuilds its own cache, so the schedule is
+    static (no lax.cond) and XLA pipelines the whole segment as straight-line
+    code.  A prologue of T mod k full steps aligns the segments.
+    """
+    b = x_t.shape[0]
+
+    def _update(x, t_step, eps, v):
+        t = jnp.full((b,), t_step, dtype=jnp.int32)
+        z = (
+            None
+            if mean_only
+            else jax.random.normal(
+                jax.random.fold_in(key, t_step), x.shape, x.dtype
+            )
+        )
+        if v is not None and not mean_only:
+            mean = D.model_mean_from_epsilon(tables, x, t, eps, clip=clip)
+            sigma = _learned_sigma(tables, t, v, x.ndim)
+            nonterminal = D.expand_to_mask(t > 1, x.ndim).astype(x.dtype)
+            return mean - sigma * z * nonterminal
+        return D.p_step(
+            tables, x, t, eps, z,
+            sigma_mode=sigma_mode, clip=clip, mean_only=mean_only,
+        )
+
+    if not mean_only:
+        assert key is not None, "need a PRNG key"
+
+    x = x_t
+    r = T % k
+    # prologue: full (exact) steps until the remaining count divides k
+    for t_step in range(T, T - r, -1):
+        t = jnp.full((b,), t_step, dtype=jnp.int32)
+        eps, v = _model_eps(apply_fn, params, tables, x, t, y, timestep_map)
+        x = _update(x, t_step, eps, v)
+
+    def seg_body(x, t0):
+        t = jnp.full((b,), t0, dtype=jnp.int32)
+        eps, v, cache = _model_eps(
+            apply_fn, params, tables, x, t, y, timestep_map,
+            return_cache=True,
+        )
+        x = _update(x, t0, eps, v)
+        for j in range(1, k):
+            t_j = t0 - j
+            t_vec = jnp.full((b,), t_j, dtype=jnp.int32)
+            eps_j, v_j = _model_eps(
+                apply_fn, params, tables, x, t_vec, y, timestep_map,
+                cache=cache,
+            )
+            x = _update(x, t_j, eps_j, v_j)
+        return x, None
+
+    seg_starts = jnp.arange(T - r, 0, -k)
+    x, _ = jax.lax.scan(seg_body, x, seg_starts)
+    return x
 
 
 def space_timesteps(diffusion_steps: int, section_counts) -> list:

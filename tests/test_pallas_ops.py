@@ -61,6 +61,144 @@ def test_pallas_groupnorm_no_silu():
     assert abs(float(out.mean())) < 1e-3
 
 
+def _manual_gn_silu_conv(x, gamma, beta, w, bias, num_groups, emb=None,
+                         film=None):
+    """Unfused composition: GN(f32) [+emb|FiLM] -> SiLU -> conv3x3."""
+    xf = x.astype(jnp.float32)
+    if emb is not None:
+        xf = xf + emb.astype(jnp.float32)[:, None, None, :]
+    b, h, wd, c = xf.shape
+    g = num_groups
+    r = xf.reshape(b, h * wd, g, c // g)
+    mean = jnp.mean(r, axis=(1, 3), keepdims=True)
+    var = jnp.mean(jnp.square(r - mean), axis=(1, 3), keepdims=True)
+    xn = ((r - mean) * jax.lax.rsqrt(var + 1e-5)).reshape(b, h, wd, c)
+    y = xn * gamma[None, None, None, :] + beta[None, None, None, :]
+    if film is not None:
+        s, shift = film
+        y = y * (1.0 + s.astype(jnp.float32))[:, None, None, :] + shift[
+            :, None, None, :
+        ].astype(jnp.float32)
+    y = y * jax.nn.sigmoid(y)
+    out = jax.lax.conv_general_dilated(
+        y, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    return out + bias[None, None, None, :]
+
+
+@pytest.mark.parametrize("mode", ["plain", "emb", "film"])
+def test_gn_silu_conv_xla_matches_composition(mode):
+    from probabilisticdeepdiffusionmodels_tpu.ops.gn_conv_pallas import (
+        gn_silu_conv3x3_xla,
+    )
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 64).astype(np.float32))
+    gamma = jnp.asarray(rng.randn(64).astype(np.float32))
+    beta = jnp.asarray(rng.randn(64).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.randn(3, 3, 64, 32).astype(np.float32))
+    bias = jnp.asarray(rng.randn(32).astype(np.float32))
+    emb = jnp.asarray(rng.randn(2, 64).astype(np.float32)) if mode == "emb" else None
+    film = (
+        (
+            jnp.asarray(rng.randn(2, 64).astype(np.float32)),
+            jnp.asarray(rng.randn(2, 64).astype(np.float32)),
+        )
+        if mode == "film"
+        else None
+    )
+    ref = _manual_gn_silu_conv(x, gamma, beta, w, bias, 32, emb=emb, film=film)
+    out = gn_silu_conv3x3_xla(
+        x, gamma, beta, w, bias, num_groups=32, emb=emb, film=film
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("mode", ["plain", "emb", "film"])
+def test_gn_silu_conv_pallas_matches_xla(mode):
+    from probabilisticdeepdiffusionmodels_tpu.ops.gn_conv_pallas import (
+        gn_affine,
+        gn_silu_conv3x3_pallas,
+        gn_silu_conv3x3_xla,
+    )
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 8, 64).astype(np.float32))
+    gamma = jnp.asarray(rng.randn(64).astype(np.float32))
+    beta = jnp.asarray(rng.randn(64).astype(np.float32))
+    w = jnp.asarray(0.1 * rng.randn(3, 3, 64, 32).astype(np.float32))
+    bias = jnp.asarray(rng.randn(32).astype(np.float32))
+    emb = jnp.asarray(rng.randn(2, 64).astype(np.float32)) if mode == "emb" else None
+    film = (
+        (
+            jnp.asarray(rng.randn(2, 64).astype(np.float32)),
+            jnp.asarray(rng.randn(2, 64).astype(np.float32)),
+        )
+        if mode == "film"
+        else None
+    )
+    ref = gn_silu_conv3x3_xla(
+        x, gamma, beta, w, bias, num_groups=32, emb=emb, film=film
+    )
+    a, off = gn_affine(x, gamma, beta, 32, 1e-5, emb=emb, film=film)
+    out = gn_silu_conv3x3_pallas(x, a, off, w, bias, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("use_scale_shift", [False, True])
+def test_fused_gn_conv_in_model_matches_and_trains(use_scale_shift):
+    """use_pallas_conv routes GN+SiLU+conv3x3 (with the emb add / FiLM
+    folded in) through the fused op with an identical param tree."""
+    import unittest.mock as mock
+    import probabilisticdeepdiffusionmodels_tpu.ops.gn_conv_pallas as gcp
+    from probabilisticdeepdiffusionmodels_tpu.models import get_model
+
+    orig = gcp.gn_silu_conv3x3_pallas
+    with mock.patch.object(
+        gcp, "gn_silu_conv3x3_pallas",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    ):
+        cfg = dict(name="unet", in_channels=3, model_channels=32,
+                   num_res_blocks=1, attention_resolutions=[],
+                   channel_mult=[1, 2], use_scale_shift_norm=use_scale_shift)
+        m_ref = get_model(8, dict(cfg))
+        m_fused = get_model(8, dict(cfg, use_pallas_conv=True))
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+        t = jnp.ones((2,), jnp.int32)
+        params = m_ref.init(jax.random.PRNGKey(1), x, t)["params"]
+        p2 = m_fused.init(jax.random.PRNGKey(1), x, t)["params"]
+        assert jax.tree.structure(params) == jax.tree.structure(p2)
+
+        leaves, tree = jax.tree.flatten(params)
+        leaves = [l + 0.02 * jax.random.normal(
+            jax.random.fold_in(jax.random.PRNGKey(2), i), l.shape)
+            for i, l in enumerate(leaves)]
+        params = jax.tree.unflatten(tree, leaves)
+
+        ref = m_ref.apply({"params": params}, x, t)
+        out = m_fused.apply({"params": params}, x, t)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-4, atol=5e-4)
+
+        def loss(p):
+            return jnp.mean(jnp.square(m_fused.apply({"params": p}, x, t)))
+
+        g = jax.grad(loss)(params)
+        gn = sum(float(jnp.sum(jnp.abs(l))) for l in jax.tree.leaves(g))
+        assert np.isfinite(gn) and gn > 0
+
+        # grads match the unfused model (backward is the same math)
+        def loss_ref(p):
+            return jnp.mean(jnp.square(m_ref.apply({"params": p}, x, t)))
+
+        g_ref = jax.grad(loss_ref)(params)
+        for a_, b_ in zip(jax.tree.leaves(g), jax.tree.leaves(g_ref)):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       rtol=5e-3, atol=5e-4)
+
+
 def test_fused_gn_in_model_matches_and_trains():
     """use_pallas_gn routes GroupNorm+SiLU through the fused op with an
     identical param tree; gradients flow via the XLA-derived backward.
