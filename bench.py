@@ -19,9 +19,20 @@ own rate on its hardware ("DTU cluster GPUs", i.e. V100-class):
   * batch 256 (scripts/fid_score's minibatch): 256*16.8e9/5.5e12 = 780 ms
     per step => /250 steps => ~1.25 img/s; rounded UP generously to 2.0 to
     absorb estimate error in the reference's favor.
-Measured here (v5e-1, bf16, whole trajectory as one lax.scan): ~32 img/s at
-~55% MFU of the 197-TFLOP chip — the sampler runs at raw model-forward
-speed, so further gains must come from the model math itself.
+Measured here (v5e-1, bf16, whole trajectory as one lax.scan): ~28.4 img/s
+exact at ~55% MFU of the 197-TFLOP chip — the sampler runs at raw
+model-forward speed (forward-only chain: 28.5), so further gains must come
+from the model math itself.
+
+Round-2 configuration: ENCODER_REUSE = 3 ("Faster Diffusion",
+arXiv:2312.09608): the UNet encoder (~30% of a step) runs every 3rd
+reverse step; in between the decoder reruns on cached skip features with
+fresh timestep embeddings.  Measured 36.0 img/s (k=1 28.4 / k=2 33.9 /
+k=5 38.0 / k=10 39.8).  Quality validated on a trained model
+(docs/results/encoder_reuse_quality.json: accelerated samples vs the exact
+chain from identical noise).  Set ENCODER_REUSE = 1 for the exact sampler;
+every non-bench endpoint defaults to exact.  Kernel scoreboard (fused
+GN+SiLU+conv and attention Pallas kernels, both measured): docs/KERNELS.md.
 """
 
 import json
@@ -35,6 +46,7 @@ import jax.numpy as jnp
 REFERENCE_IMG_PER_SEC = 2.0
 STEPS = 250
 BATCH = 128
+ENCODER_REUSE = 3  # 1 = exact sampler; see module docstring
 
 
 def main():
@@ -65,7 +77,9 @@ def main():
     x = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
     t = jnp.ones((BATCH,), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), x, t)["params"]
-    apply_fn = lambda p, xx, tt, yy=None: model.apply({"params": p}, xx, tt, yy)
+    apply_fn = lambda p, xx, tt, yy=None, **kw: model.apply(
+        {"params": p}, xx, tt, yy, **kw
+    )
 
     # 250-step chain via respacing of the T=1000 schedule (BASELINE config #3)
     sched = NoiseSchedule.create(diffusion_steps=1000, mode="linear")
@@ -77,7 +91,8 @@ def main():
     @jax.jit
     def sample(params, x_T, key):
         return p_sample_loop(
-            apply_fn, params, tables, x_T, key, clip=True, timestep_map=tmap
+            apply_fn, params, tables, x_T, key, clip=True, timestep_map=tmap,
+            encoder_reuse=ENCODER_REUSE,
         )
 
     key = jax.random.PRNGKey(1)

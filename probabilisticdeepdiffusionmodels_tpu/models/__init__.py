@@ -59,6 +59,7 @@ def get_unet(
     learn_sigma: bool = False,
     compute_dtype: str = "float32",
     use_pallas_attention: bool = False,
+    pallas_attention_min_tokens: int = 256,
     use_pallas_gn: bool = False,
     use_pallas_conv: bool = False,
     _cls=UNetModel,
@@ -84,6 +85,7 @@ def get_unet(
         num_heads_upsample=num_heads_upsample,
         use_scale_shift_norm=use_scale_shift_norm,
         use_pallas_attention=use_pallas_attention,
+        pallas_attention_min_tokens=pallas_attention_min_tokens,
         use_pallas_gn=use_pallas_gn,
         use_pallas_conv=use_pallas_conv,
         dtype=_DTYPES[compute_dtype],

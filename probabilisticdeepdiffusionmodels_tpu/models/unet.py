@@ -160,6 +160,7 @@ class AttentionBlock(nn.Module):
 
     num_heads: int = 1
     use_pallas: bool = False
+    pallas_min_tokens: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -169,7 +170,8 @@ class AttentionBlock(nn.Module):
         tokens = x.reshape(b, -1, c)
         y = GroupNorm32(name="norm")(tokens)
         qkv = Conv(3 * c, (1,), dtype=self.dtype, name="qkv")(y)
-        out = qkv_attention(qkv, self.num_heads, use_pallas=self.use_pallas)
+        out = qkv_attention(qkv, self.num_heads, use_pallas=self.use_pallas,
+                            min_tokens=self.pallas_min_tokens)
         out = Conv(c, (1,), zero_init=True, dtype=self.dtype, name="proj")(out)
         return (tokens + out).reshape(b, *spatial, c)
 
@@ -236,6 +238,7 @@ class UNetModel(nn.Module):
     num_heads_upsample: int = -1
     use_scale_shift_norm: bool = False
     use_pallas_attention: bool = False
+    pallas_attention_min_tokens: int = 256   # Pallas wins only >=256 tokens
     use_pallas_gn: bool = False
     use_pallas_conv: bool = False
     dims: int = 2                       # spatial rank: 1, 2 or 3
@@ -356,6 +359,7 @@ class UNetModel(nn.Module):
                     )(h, emb, train=train)
                 elif kind == "attn":
                     h = ab(dtype=self.dtype, use_pallas=self.use_pallas_attention,
+                           pallas_min_tokens=self.pallas_attention_min_tokens,
                            name=name, **kw)(h)
                 elif kind == "down":
                     h = Downsample(self.conv_resample, dims=self.dims,
@@ -433,6 +437,7 @@ class SuperResModel(nn.Module):
     num_heads_upsample: int = -1
     use_scale_shift_norm: bool = False
     use_pallas_attention: bool = False
+    pallas_attention_min_tokens: int = 256
     use_pallas_gn: bool = False
     use_pallas_conv: bool = False
     dtype: Dtype = jnp.float32
@@ -458,6 +463,7 @@ class SuperResModel(nn.Module):
             num_heads_upsample=self.num_heads_upsample,
             use_scale_shift_norm=self.use_scale_shift_norm,
             use_pallas_attention=self.use_pallas_attention,
+            pallas_attention_min_tokens=self.pallas_attention_min_tokens,
             use_pallas_gn=self.use_pallas_gn,
             use_pallas_conv=self.use_pallas_conv,
             dtype=self.dtype,

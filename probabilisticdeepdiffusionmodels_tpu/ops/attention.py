@@ -65,10 +65,17 @@ def qkv_attention_xla(qkv: jax.Array, num_heads: int = 1) -> jax.Array:
 
 
 def qkv_attention(
-    qkv: jax.Array, num_heads: int = 1, *, use_pallas: bool = False
+    qkv: jax.Array, num_heads: int = 1, *, use_pallas: bool = False,
+    min_tokens: int = 0,
 ) -> jax.Array:
-    """Dispatch: Pallas fused kernel on TPU when enabled, XLA otherwise."""
-    if use_pallas:
+    """Dispatch: Pallas fused kernel on TPU when enabled, XLA otherwise.
+
+    ``min_tokens`` gates the Pallas path by sequence length: measured on
+    v5e-1 the fused kernel wins only at the largest attention site
+    (256 tokens: 1650 vs 1774 us; 64/16 tokens: XLA wins — docs/KERNELS.md),
+    so callers enable Pallas per-site by static token count.
+    """
+    if use_pallas and qkv.shape[1] >= min_tokens:
         from .attention_pallas import qkv_attention_pallas
 
         return qkv_attention_pallas(qkv, num_heads)

@@ -61,6 +61,28 @@ def test_pallas_groupnorm_no_silu():
     assert abs(float(out.mean())) < 1e-3
 
 
+def test_attention_min_tokens_gate(monkeypatch):
+    """use_pallas routes through the fused kernel only at >= min_tokens
+    (measured win only at the 256-token site — docs/KERNELS.md)."""
+    import probabilisticdeepdiffusionmodels_tpu.ops.attention_pallas as ap
+    from probabilisticdeepdiffusionmodels_tpu.ops.attention import qkv_attention
+
+    calls = []
+    orig = ap.qkv_attention_pallas
+
+    def spy(qkv, num_heads, **kw):
+        calls.append(qkv.shape[1])
+        return orig(qkv, num_heads, interpret=True, **kw)
+
+    monkeypatch.setattr(ap, "qkv_attention_pallas", spy)
+    small = jnp.ones((1, 64, 3 * 32), jnp.float32)
+    big = jnp.ones((1, 256, 3 * 32), jnp.float32)
+    qkv_attention(small, 1, use_pallas=True, min_tokens=256)
+    assert calls == []  # small site stays on XLA
+    qkv_attention(big, 1, use_pallas=True, min_tokens=256)
+    assert calls == [256]
+
+
 def _manual_gn_silu_conv(x, gamma, beta, w, bias, num_groups, emb=None,
                          film=None):
     """Unfused composition: GN(f32) [+emb|FiLM] -> SiLU -> conv3x3."""
