@@ -27,12 +27,17 @@ from the model math itself.
 Round-2 configuration: ENCODER_REUSE = 3 ("Faster Diffusion",
 arXiv:2312.09608): the UNet encoder (~30% of a step) runs every 3rd
 reverse step; in between the decoder reruns on cached skip features with
-fresh timestep embeddings.  Measured 36.0 img/s (k=1 28.4 / k=2 33.9 /
-k=5 38.0 / k=10 39.8).  Quality validated on a trained model
-(docs/results/encoder_reuse_quality.json: accelerated samples vs the exact
-chain from identical noise).  Set ENCODER_REUSE = 1 for the exact sampler;
-every non-bench endpoint defaults to exact.  Kernel scoreboard (fused
-GN+SiLU+conv and attention Pallas kernels, both measured): docs/KERNELS.md.
+fresh timestep embeddings.  Measured 36.1 img/s (k=1 28.4 / k=2 33.9 /
+k=5 38.0 / k=10 39.8).  This is an APPROXIMATE sampler; the quality
+evidence, measured on a trained T=1000 model (docs/results/*.json,
+docs/RESULTS.md): per-sample RMSE vs the exact chain 0.34 (genuine
+approximation error — the chain is contractive, chaos floor 6e-4); sample
+std 12% lower than exact; but distributionally (Frechet over
+moments/gradients/FFT-band features vs the training data) plain k=3 scores
+2.44 vs exact's 6.06 — the smoothing lands CLOSER to the data than the
+exact chain on this model.  Set ENCODER_REUSE = 1 for the exact sampler
+(28.4 img/s, still 14.2x the reference estimate); every non-bench endpoint
+defaults to exact.  Kernel scoreboard: docs/KERNELS.md.
 """
 
 import json

@@ -108,6 +108,10 @@ class DiffusionEngine:
         steps_per_epoch: Optional[int] = None,
         watch: bool = False,
         encoder_reuse: int = 1,
+        reuse_exact_head: int = 0,
+        reuse_exact_tail: int = 0,
+        reuse_sigma_boost: float = 0.0,
+        reuse_prior_noise: float = 0.0,
     ):
         self.hparams = dict(
             model_config=dict(model_config),
@@ -129,10 +133,20 @@ class DiffusionEngine:
             grad_clip=grad_clip,
             accumulate_grad_batches=accumulate_grad_batches,
             encoder_reuse=encoder_reuse,
+            reuse_exact_head=reuse_exact_head,
+            reuse_exact_tail=reuse_exact_tail,
+            reuse_sigma_boost=reuse_sigma_boost,
+            reuse_prior_noise=reuse_prior_noise,
         )
         # sampling acceleration: run the UNet encoder every k-th step only
-        # (Faster Diffusion, arXiv:2312.09608); 1 = exact sampling
+        # (Faster Diffusion, arXiv:2312.09608); 1 = exact sampling.  The
+        # exact head/tail windows pin the chain's ends to exact steps —
+        # quality calibration in docs/results/encoder_reuse_quality.json.
         self.encoder_reuse = int(encoder_reuse or 1)
+        self.reuse_exact_head = int(reuse_exact_head or 0)
+        self.reuse_exact_tail = int(reuse_exact_tail or 0)
+        self.reuse_sigma_boost = float(reuse_sigma_boost or 0.0)
+        self.reuse_prior_noise = float(reuse_prior_noise or 0.0)
         self.diffusion_steps = diffusion_steps
         self.resolution = resolution
         self.sigma_mode = sigma_mode
@@ -370,7 +384,9 @@ class DiffusionEngine:
     def generate_images(
         self, n=1, minibatch=4, mean_only=False, seed=None, use_ema=True,
         num_sample_steps=None, ddim=False, ddim_eta=0.0, shard_mode="batch",
-        y=None, encoder_reuse=None,
+        y=None, encoder_reuse=None, x_T=None,
+        reuse_exact_head=None, reuse_exact_tail=None,
+        reuse_sigma_boost=None, reuse_prior_noise=None,
     ) -> np.ndarray:
         """Batched generation (reference engine.py:556-574), with optional
         strided/DDIM fast sampling (BASELINE config #3 extension).
@@ -378,7 +394,10 @@ class DiffusionEngine:
         ``y``: per-image conditioning of length n — class labels for a
         class-conditional UNet, low-res images for SuperResModel.
         ``encoder_reuse``: override the engine-level encoder-reuse interval
-        for this call (k>1 approximate, k=1 exact)."""
+        for this call (k>1 approximate, k=1 exact).
+        ``x_T``: optional [n, ...] starting noise; when given, it replaces
+        the seed-drawn x_T (the per-step z stream still comes from seed), so
+        callers can replay or perturb a specific chain."""
         tables, tmap, _ = self._sample_tables(num_sample_steps)
         if y is not None:
             y = jnp.asarray(y)
@@ -394,9 +413,18 @@ class DiffusionEngine:
             # the scanned trajectory stays sharded with no collectives
             params = jax.device_put(params, replicated(self.mesh))
 
+        if x_T is not None:
+            x_T = jnp.asarray(x_T, jnp.float32)
+            assert x_T.shape[0] >= n, "need starting noise for every image"
+
         for i in range(int(np.ceil(n / minibatch))):
             key, knoise, kloop = jax.random.split(key, 3)
-            x_t = jax.random.normal(knoise, shape, jnp.float32)
+            if x_T is not None:
+                lo = i * minibatch
+                idx = jnp.arange(lo, lo + minibatch) % x_T.shape[0]
+                x_t = jnp.take(x_T, idx, axis=0)  # wrap-pad the tail chunk
+            else:
+                x_t = jax.random.normal(knoise, shape, jnp.float32)
             y_chunk = None
             if y is not None:
                 lo = i * minibatch
@@ -427,11 +455,29 @@ class DiffusionEngine:
                             "encoder_reuse>1 requires a UNet-family model "
                             "(the encoder cache is a UNet concept)"
                         )
-                fn = self._sample_jit(
-                    "p", sigma_mode=self.sigma_mode,
+                static = dict(
+                    sigma_mode=self.sigma_mode,
                     clip=self.clip_while_generating, mean_only=mean_only,
                     encoder_reuse=reuse,
                 )
+                if reuse > 1:
+                    static["reuse_exact_head"] = int(
+                        reuse_exact_head if reuse_exact_head is not None
+                        else self.reuse_exact_head
+                    )
+                    static["reuse_exact_tail"] = int(
+                        reuse_exact_tail if reuse_exact_tail is not None
+                        else self.reuse_exact_tail
+                    )
+                    static["reuse_sigma_boost"] = float(
+                        reuse_sigma_boost if reuse_sigma_boost is not None
+                        else self.reuse_sigma_boost
+                    )
+                    static["reuse_prior_noise"] = float(
+                        reuse_prior_noise if reuse_prior_noise is not None
+                        else self.reuse_prior_noise
+                    )
+                fn = self._sample_jit("p", **static)
             x = fn(params, tables, x_t, kloop, y_chunk, tmap)
             images.append(np.asarray(x))
         return np.concatenate(images, axis=0)[:n]

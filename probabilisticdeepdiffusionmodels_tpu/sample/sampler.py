@@ -91,6 +91,10 @@ def p_sample_loop(
     noise: Optional[jax.Array] = None,
     timestep_map: Optional[jax.Array] = None,
     encoder_reuse: int = 1,
+    reuse_exact_head: int = 0,
+    reuse_exact_tail: int = 0,
+    reuse_sigma_boost: float = 0.0,
+    reuse_prior_noise: float = 0.0,
 ):
     """Ancestral sampling from t_start down to 1 in one lax.scan.
 
@@ -105,6 +109,19 @@ def p_sample_loop(
     approximation otherwise (the model must support cache=/return_cache=,
     i.e. UNetModel).  Saves the encoder's share of FLOPs and HBM traffic on
     (k-1)/k of the steps.
+
+    ``reuse_exact_head`` / ``reuse_exact_tail``: with encoder_reuse>1, run
+    the first ``head`` steps (t near t_start) and the last ``tail`` steps
+    (t near 1) exactly, reusing only in between.  (Measured: the quality
+    loss is distributed along the chain, so these windows alone do not
+    recover it — docs/results/encoder_reuse_sweep.json.)
+
+    ``reuse_sigma_boost`` g: at cached steps scale the injected noise by
+    sqrt(1+g).  ``reuse_prior_noise`` lambda: at cached steps add
+    lambda * x_T after the update ("Faster Diffusion" §3.3 prior noise
+    injection).  Both compensate the texture/variance loss caused by the
+    cached (x-independent) eps-hat; calibrate on a trained model with
+    scripts/sweep_reuse_quality.py.
 
     Returns x_0, plus (if steps_to_return) the recorded intermediate steps
     [B, S, ...] in descending-t order, plus (if return_stds) the per-step
@@ -122,6 +139,9 @@ def p_sample_loop(
             apply_fn, params, tables, x_t, key, int(encoder_reuse), T,
             sigma_mode=sigma_mode, clip=clip, mean_only=mean_only, y=y,
             timestep_map=timestep_map,
+            exact_head=int(reuse_exact_head), exact_tail=int(reuse_exact_tail),
+            sigma_boost=float(reuse_sigma_boost),
+            prior_noise=float(reuse_prior_noise),
         )
 
     if steps_to_return is not None:
@@ -196,6 +216,7 @@ def p_sample_loop(
 def _p_sample_loop_encoder_reuse(
     apply_fn, params, tables, x_t, key, k, T, *,
     sigma_mode, clip, mean_only, y, timestep_map,
+    exact_head=0, exact_tail=0, sigma_boost=0.0, prior_noise=0.0,
 ):
     """Ancestral sampling with the encoder run every k-th step only.
 
@@ -204,16 +225,19 @@ def _p_sample_loop_encoder_reuse(
     middle+decoder on that cache with fresh timestep embeddings.  The scan
     carries only x — each segment rebuilds its own cache, so the schedule is
     static (no lax.cond) and XLA pipelines the whole segment as straight-line
-    code.  A prologue of T mod k full steps aligns the segments.
+    code.  A prologue of exact steps aligns the segments; ``exact_head`` /
+    ``exact_tail`` widen the exact windows at the chain's ends (both run as
+    their own exact scans, so head/tail length doesn't grow the program).
     """
     b = x_t.shape[0]
 
-    def _update(x, t_step, eps, v):
+    def _update(x, t_step, eps, v, z_scale=1.0):
         t = jnp.full((b,), t_step, dtype=jnp.int32)
         z = (
             None
             if mean_only
-            else jax.random.normal(
+            else z_scale
+            * jax.random.normal(
                 jax.random.fold_in(key, t_step), x.shape, x.dtype
             )
         )
@@ -230,13 +254,20 @@ def _p_sample_loop_encoder_reuse(
     if not mean_only:
         assert key is not None, "need a PRNG key"
 
-    x = x_t
-    r = T % k
-    # prologue: full (exact) steps until the remaining count divides k
-    for t_step in range(T, T - r, -1):
+    exact_head = max(0, int(exact_head))
+    exact_tail = max(0, int(exact_tail))
+    assert exact_head + exact_tail <= T, "exact windows exceed the chain"
+    # segments must divide the middle; spill the remainder into the head
+    head_n = exact_head + (T - exact_head - exact_tail) % k
+
+    def exact_body(x, t_step):
         t = jnp.full((b,), t_step, dtype=jnp.int32)
         eps, v = _model_eps(apply_fn, params, tables, x, t, y, timestep_map)
-        x = _update(x, t_step, eps, v)
+        return _update(x, t_step, eps, v), None
+
+    x = x_t
+    if head_n:
+        x, _ = jax.lax.scan(exact_body, x, jnp.arange(T, T - head_n, -1))
 
     def seg_body(x, t0):
         t = jnp.full((b,), t0, dtype=jnp.int32)
@@ -245,6 +276,7 @@ def _p_sample_loop_encoder_reuse(
             return_cache=True,
         )
         x = _update(x, t0, eps, v)
+        boost = float(np.sqrt(1.0 + sigma_boost))
         for j in range(1, k):
             t_j = t0 - j
             t_vec = jnp.full((b,), t_j, dtype=jnp.int32)
@@ -252,11 +284,19 @@ def _p_sample_loop_encoder_reuse(
                 apply_fn, params, tables, x, t_vec, y, timestep_map,
                 cache=cache,
             )
-            x = _update(x, t_j, eps_j, v_j)
+            x = _update(x, t_j, eps_j, v_j, z_scale=boost)
+            if prior_noise:
+                # Faster Diffusion §3.3: re-inject a sliver of the prior
+                # noise at cached steps (never at the terminal t=1 step)
+                live = D.expand_to_mask(t_vec > 1, x.ndim).astype(x.dtype)
+                x = x + prior_noise * x_t * live
         return x, None
 
-    seg_starts = jnp.arange(T - r, 0, -k)
-    x, _ = jax.lax.scan(seg_body, x, seg_starts)
+    seg_starts = jnp.arange(T - head_n, exact_tail, -k)
+    if len(seg_starts):
+        x, _ = jax.lax.scan(seg_body, x, seg_starts)
+    if exact_tail:
+        x, _ = jax.lax.scan(exact_body, x, jnp.arange(exact_tail, 0, -1))
     return x
 
 

@@ -1,0 +1,98 @@
+"""Sampler configuration sweep on the real TPU (bench.py's workload).
+
+Measures end-to-end img/s for combinations of the two shipping
+accelerations — encoder_reuse and the token-gated Pallas attention —
+so docs/KERNELS.md's scoreboard stays backed by current numbers.
+
+Usage: python scripts/bench_variants.py   (TPU; ~5 min, one process)
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+STEPS = 250
+BATCH = 128
+
+
+def build(use_pallas_attention):
+    from probabilisticdeepdiffusionmodels_tpu.core import (
+        DiffusionTables,
+        NoiseSchedule,
+    )
+    from probabilisticdeepdiffusionmodels_tpu.models import get_model
+    from probabilisticdeepdiffusionmodels_tpu.sample import (
+        respaced_schedule,
+        space_timesteps,
+    )
+
+    model = get_model(
+        32,
+        dict(
+            name="unet",
+            in_channels=3,
+            model_channels=128,
+            num_res_blocks=3,
+            attention_resolutions=[16, 8],
+            channel_mult=[1, 2, 2, 2],
+            num_heads=4,
+            compute_dtype="bfloat16",
+            use_pallas_attention=use_pallas_attention,
+        ),
+    )
+    x = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
+    t = jnp.ones((BATCH,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    apply_fn = lambda p, xx, tt, yy=None, **kw: model.apply(
+        {"params": p}, xx, tt, yy, **kw
+    )
+    sched = NoiseSchedule.create(diffusion_steps=1000, mode="linear")
+    sub_sched, tmap = respaced_schedule(sched, space_timesteps(1000, STEPS))
+    tables = DiffusionTables.from_schedule(sub_sched)
+    return apply_fn, params, tables, jnp.asarray(tmap)
+
+
+def measure(apply_fn, params, tables, tmap, encoder_reuse, n_rep=3):
+    from probabilisticdeepdiffusionmodels_tpu.sample import p_sample_loop
+
+    @jax.jit
+    def sample(params, x_T, key):
+        return p_sample_loop(
+            apply_fn, params, tables, x_T, key, clip=True,
+            timestep_map=tmap, encoder_reuse=encoder_reuse,
+        )
+
+    key = jax.random.PRNGKey(1)
+    x_T = jax.random.normal(key, (BATCH, 32, 32, 3), jnp.float32)
+    w = sample(params, x_T, key)
+    assert np.isfinite(float(jnp.sum(w)))
+    t0 = time.perf_counter()
+    out = x_T
+    for i in range(n_rep):
+        out = sample(params, out, jax.random.fold_in(key, i))
+    assert np.isfinite(float(jnp.sum(jnp.abs(out))))
+    dt = (time.perf_counter() - t0) / n_rep
+    return round(BATCH / dt, 2)
+
+
+def main():
+    results = {}
+    for pallas_attn in (False, True):
+        apply_fn, params, tables, tmap = build(pallas_attn)
+        for k in (1, 3):
+            name = f"reuse{k}" + ("_pallas_attn" if pallas_attn else "")
+            results[name] = measure(apply_fn, params, tables, tmap, k)
+            print(f"{name}: {results[name]} img/s", flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Distributional quality of encoder-reuse sampling vs the training data.
+
+Moment deltas (scripts/sweep_reuse_quality.py) showed uniform encoder reuse
+shrinks sample std and that Faster-Diffusion prior-noise injection can
+restore it; this script decides whether the *distribution* is restored, not
+just one moment.  Real FID needs the pytorch-fid checkpoint (absent in this
+zero-egress sandbox), so the metric is a Frechet distance over interpretable
+hand-crafted features that the synthetic dataset (sinusoidal plaids,
+f in [1,4] cycles) is sensitive to:
+
+  per image: channel means (C), channel stds (C), x/y gradient stds (2),
+  radial FFT log-power in 6 bands (6) — smoothing moves band power down,
+  over-noising moves it up.
+
+Reported per config: Frechet distance of its feature Gaussian to the
+dataset's, alongside the exact sampler's distance (the yardstick) and a
+dataset split-half floor.  Writes docs/results/encoder_reuse_frechet.json.
+
+Usage: python scripts/eval_reuse_distributional.py <run_dir> [n_samples]
+"""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+CONFIGS = [
+    # (name, kwargs for generate_images)
+    ("exact", dict(encoder_reuse=1)),
+    ("k3", dict(encoder_reuse=3)),
+    ("k3_l0.003", dict(encoder_reuse=3, reuse_prior_noise=0.003)),
+    ("k3_l0.004", dict(encoder_reuse=3, reuse_prior_noise=0.004)),
+    ("k3_l0.005", dict(encoder_reuse=3, reuse_prior_noise=0.005)),
+    ("k2_l0.002", dict(encoder_reuse=2, reuse_prior_noise=0.002)),
+]
+
+
+def features(x: np.ndarray) -> np.ndarray:
+    """[N,H,W,C] in [-1,1] -> [N,F] interpretable features."""
+    n, h, w, c = x.shape
+    feats = [x.mean(axis=(1, 2)), x.std(axis=(1, 2))]  # [N,C] each
+    gx = np.diff(x, axis=2).std(axis=(1, 2))  # [N,C] -> mean over C
+    gy = np.diff(x, axis=1).std(axis=(1, 2))
+    feats += [gx.mean(axis=1, keepdims=True), gy.mean(axis=1, keepdims=True)]
+    # radial FFT power bands on the channel-mean image
+    g = x.mean(axis=3)
+    F = np.abs(np.fft.fftshift(np.fft.fft2(g), axes=(1, 2))) ** 2
+    cy, cx = h // 2, w // 2
+    yy, xx = np.mgrid[0:h, 0:w]
+    r = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+    edges = np.linspace(0, h // 2, 7)
+    bands = []
+    for i in range(6):
+        m = (r >= edges[i]) & (r < edges[i + 1])
+        bands.append(np.log1p(F[:, m].mean(axis=1)))
+    feats.append(np.stack(bands, axis=1))
+    return np.concatenate([np.asarray(f, np.float64) for f in feats], axis=1)
+
+
+def frechet(a: np.ndarray, b: np.ndarray) -> float:
+    """Frechet distance between Gaussian fits of two feature sets."""
+    import scipy.linalg
+
+    mu1, mu2 = a.mean(0), b.mean(0)
+    s1 = np.cov(a, rowvar=False) + 1e-9 * np.eye(a.shape[1])
+    s2 = np.cov(b, rowvar=False) + 1e-9 * np.eye(b.shape[1])
+    covmean = scipy.linalg.sqrtm(s1 @ s2)
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(
+        ((mu1 - mu2) ** 2).sum() + np.trace(s1 + s2 - 2.0 * covmean)
+    )
+
+
+def main():
+    run_dir = sys.argv[1] if len(sys.argv) > 1 else "runs/synstudy_linear_T1000"
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from probabilisticdeepdiffusionmodels_tpu.cli.sample import (
+        load_engine_from_run,
+    )
+    from probabilisticdeepdiffusionmodels_tpu.data.datasets import (
+        make_synthetic,
+    )
+
+    engine, cfg = load_engine_from_run(run_dir)
+    dcfg = cfg.get("data", {})
+    ds = make_synthetic(
+        resolution=int(cfg["engine"]["resolution"]),
+        channels=int(dcfg.get("channels", 3)),
+        n=int(dcfg.get("n", 2048)),
+    )
+    data = ds.images.astype(np.float32) / 255.0 * 2.0 - 1.0  # oneone
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(len(data))
+    half = len(data) // 2
+    f_data = features(data[perm[:half]])
+    floor = frechet(f_data, features(data[perm[half:]]))
+
+    out = {"n_samples": n, "dataset_split_half_floor": round(floor, 4)}
+    for name, kw in CONFIGS:
+        s = np.asarray(
+            engine.generate_images(n=n, minibatch=n, seed=123, **kw)
+        )
+        assert np.isfinite(s).all(), f"non-finite at {name}"
+        d = frechet(f_data, features(s))
+        out[name] = {"frechet_to_data": round(d, 4),
+                     "std": round(float(s.std()), 5)}
+        print(name, out[name], flush=True)
+
+    dest = Path("docs/results")
+    dest.mkdir(parents=True, exist_ok=True)
+    (dest / "encoder_reuse_frechet.json").write_text(json.dumps(out, indent=1))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,12 +1,21 @@
 """Quality validation for encoder-reuse sampling on a TRAINED model.
 
 Samples the same noise through the exact sampler (encoder_reuse=1) and the
-accelerated ones (k in {2,3,5}), reports RMSE/PSNR between the exact and
-accelerated outputs in [-1,1] data space, and writes a side-by-side grid.
-This is the evidence backing bench.py's encoder_reuse default: the Faster
-Diffusion approximation (arXiv:2312.09608) must stay visually and
-numerically close to the exact 250-step chain on a converged model, not
-just on random weights.
+accelerated ones (k in {2,3,5}) and evaluates two things:
+
+1. Per-sample divergence vs the exact chain — WITH A CONTROL: an exact
+   chain restarted from x_T + 1e-4·noise with the identical z stream.  A
+   reverse DDPM chain is chaotic (small perturbations amplify over hundreds
+   of steps), so per-sample RMSE vs exact is only meaningful relative to
+   that control; k-chains diverging no faster than the epsilon-perturbed
+   exact chain means the approximation error sits below the chain's own
+   sensitivity floor.
+2. Distributional statistics — what sample quality actually depends on
+   ("Faster Diffusion" arXiv:2312.09608 validates with FID, a
+   distributional metric): moments of each accelerated sample set vs the
+   exact set's.
+
+Writes docs/results/encoder_reuse_quality.json and a side-by-side grid.
 
 Usage: python scripts/validate_encoder_reuse.py <run_dir> [n_images]
 """
@@ -18,36 +27,82 @@ from pathlib import Path
 import numpy as np
 
 
+def _dist_stats(x):
+    """Distributional summary of a sample set in [-1,1] space."""
+    mu, sd = float(x.mean()), float(x.std())
+    return {
+        "mean": round(mu, 5),
+        "std": round(sd, 5),
+        "skew": round(float(((x - mu) ** 3).mean()) / max(sd**3, 1e-12), 5),
+    }
+
+
 def main():
-    run_dir = sys.argv[1] if len(sys.argv) > 1 else "runs/synstudy_cosine_T1000"
+    run_dir = sys.argv[1] if len(sys.argv) > 1 else "runs/synstudy_linear_T1000"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import jax
+
     from probabilisticdeepdiffusionmodels_tpu.cli.sample import (
         load_engine_from_run,
     )
 
     engine, cfg = load_engine_from_run(run_dir)
-    out = {}
+    seed = 123
     samples = {}
     for k in (1, 2, 3, 5):
         # identical seed => identical x_T draw and z stream across k
-        samples[k] = engine.generate_images(
-            n=n, minibatch=n, seed=123, encoder_reuse=k
+        samples[k] = np.asarray(
+            engine.generate_images(n=n, minibatch=n, seed=seed,
+                                   encoder_reuse=k)
         )
         assert np.isfinite(samples[k]).all(), f"non-finite samples at k={k}"
     ref = samples[1]
-    dyn = ref.max() - ref.min()
+
+    # control: exact chain from x_T + 1e-4 noise, same z stream (same seed).
+    # Replicate generate_images' internal x_T draw to perturb it.
+    key, knoise, _ = jax.random.split(jax.random.PRNGKey(seed), 3)
+    x_T = jax.random.normal(knoise, ref.shape, np.float32)
+    pert = x_T + 1e-4 * jax.random.normal(jax.random.PRNGKey(7), ref.shape,
+                                          np.float32)
+    control = np.asarray(
+        engine.generate_images(n=n, minibatch=n, seed=seed, encoder_reuse=1,
+                               x_T=pert)
+    )
+    # sanity: unperturbed x_T through the x_T hook reproduces the chain
+    replay = np.asarray(
+        engine.generate_images(n=n, minibatch=n, seed=seed, encoder_reuse=1,
+                               x_T=x_T)
+    )
+    assert np.allclose(replay, ref, atol=1e-5), "x_T replay mismatch"
+
+    def rmse(a, b):
+        return float(np.sqrt(np.mean((a - b) ** 2)))
+
+    dyn = float(ref.max() - ref.min())
+    out = {
+        "exact_stats": _dist_stats(ref),
+        "chaos_floor_rmse_1e-4_perturbation": round(rmse(control, ref), 5),
+    }
     for k in (2, 3, 5):
-        err = samples[k] - ref
-        rmse = float(np.sqrt(np.mean(err**2)))
-        psnr = float(20 * np.log10(dyn / max(rmse, 1e-12)))
+        r = rmse(samples[k], ref)
+        ks = _dist_stats(samples[k])
         out[f"k{k}"] = {
-            "rmse_vs_exact": round(rmse, 5),
-            "psnr_db": round(psnr, 2),
-            "max_abs": round(float(np.abs(err).max()), 5),
+            "rmse_vs_exact": round(r, 5),
+            "psnr_db": round(float(20 * np.log10(dyn / max(r, 1e-12))), 2),
+            "stats": ks,
+            "stats_abs_delta_vs_exact": {
+                m: round(abs(ks[m] - out["exact_stats"][m]), 5)
+                for m in ("mean", "std", "skew")
+            },
         }
-        print(f"k={k}: rmse={rmse:.5f} psnr={psnr:.2f}dB", flush=True)
+        print(
+            f"k={k}: rmse={r:.4f} (chaos floor "
+            f"{out['chaos_floor_rmse_1e-4_perturbation']:.4f}) "
+            f"stats_delta={out[f'k{k}']['stats_abs_delta_vs_exact']}",
+            flush=True,
+        )
 
     # side-by-side grid: rows = k in {1,2,3,5}, cols = first 8 images
     import matplotlib
@@ -57,14 +112,14 @@ def main():
 
     ncol = min(8, n)
     fig, axes = plt.subplots(4, ncol, figsize=(1.3 * ncol, 5.4))
-    for r, k in enumerate((1, 2, 3, 5)):
+    for r_i, k in enumerate((1, 2, 3, 5)):
         for c in range(ncol):
             img = (samples[k][c] - samples[k][c].min()) / max(
-                samples[k][c].ptp(), 1e-9
+                float(np.ptp(samples[k][c])), 1e-9
             )
-            axes[r, c].imshow(img.squeeze(), cmap=None)
-            axes[r, c].set_xticks([]), axes[r, c].set_yticks([])
-        axes[r, 0].set_ylabel(f"k={k}", fontsize=9)
+            axes[r_i, c].imshow(img.squeeze(), cmap=None)
+            axes[r_i, c].set_xticks([]), axes[r_i, c].set_yticks([])
+        axes[r_i, 0].set_ylabel(f"k={k}", fontsize=9)
     dest = Path("docs/results")
     dest.mkdir(parents=True, exist_ok=True)
     fig.suptitle("encoder_reuse: exact (k=1) vs accelerated, same noise")

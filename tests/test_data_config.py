@@ -146,3 +146,58 @@ def test_multihost_shards_partition_epoch_exactly():
         )
     ])
     np.testing.assert_array_equal(again, shard_ids[2])
+
+
+def _write_idx(path, arr):
+    """Minimal IDX ubyte writer (the MNIST wire format: >I magic with the
+    rank in the low byte, >I dims, raw uint8 payload)."""
+    import struct
+
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    with open(path, "wb") as f:
+        f.write(struct.pack(">I", 0x0800 | arr.ndim))
+        for d in arr.shape:
+            f.write(struct.pack(">I", d))
+        f.write(arr.tobytes())
+
+
+def test_mnist_idx_loader_roundtrip(tmp_path):
+    """load_mnist reads synthesized IDX ubyte files (plain and .gz) through
+    the same path real MNIST downloads take (reference: torchvision MNIST via
+    data.py:46-55; here data/datasets.py:64-87)."""
+    import gzip
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 256, size=(12, 28, 28), dtype=np.uint8)
+    labels = rng.integers(0, 10, size=(12,), dtype=np.uint8)
+    timgs = rng.integers(0, 256, size=(5, 28, 28), dtype=np.uint8)
+    tlabels = rng.integers(0, 10, size=(5,), dtype=np.uint8)
+
+    root = tmp_path / "MNIST" / "raw"
+    root.mkdir(parents=True)
+    _write_idx(root / "train-images-idx3-ubyte", imgs)
+    _write_idx(root / "train-labels-idx1-ubyte", labels)
+    # test split stored gzipped to cover the .gz branch
+    for name, arr in (("t10k-images-idx3-ubyte", timgs),
+                      ("t10k-labels-idx1-ubyte", tlabels)):
+        plain = root / name
+        _write_idx(plain, arr)
+        with open(plain, "rb") as f, gzip.open(f"{plain}.gz", "wb") as g:
+            g.write(f.read())
+        plain.unlink()
+
+    train = get_dataset("mnist", train=True, root=tmp_path)
+    test = get_dataset("mnist", train=False, root=tmp_path)
+    assert train.images.shape == (12, 28, 28, 1)
+    np.testing.assert_array_equal(train.images[..., 0], imgs)
+    np.testing.assert_array_equal(train.labels, labels.astype(np.int32))
+    assert test.images.shape == (5, 28, 28, 1)
+    np.testing.assert_array_equal(test.images[..., 0], timgs)
+
+    # and it drives the full loader/transform path
+    loader = DataLoader(
+        train, batch_size=4, train=True,
+        transformation_kwargs=dict(normalize="mnist"),
+    )
+    x, y = next(iter(loader))
+    assert x.shape == (4, 28, 28, 1) and x.dtype == np.float32

@@ -150,3 +150,40 @@ def test_engine_endpoint_accepts_encoder_reuse():
     # per-call override back to exact
     imgs2 = eng.generate_images(n=2, minibatch=2, seed=0, encoder_reuse=1)
     assert np.isfinite(imgs2).all()
+
+
+def test_reuse_exact_windows_cover_chain_is_exact(small_unet):
+    """exact_head + exact_tail spanning the whole chain == exact sampler
+    (every step runs full), regardless of k."""
+    model, params, apply_fn = small_unet
+    sched = NoiseSchedule.create(diffusion_steps=10, mode="cosine")
+    tables = DiffusionTables.from_schedule(sched)
+    key = jax.random.PRNGKey(6)
+    x_T = jax.random.normal(key, (2, 8, 8, 3), jnp.float32)
+    exact = p_sample_loop(apply_fn, params, tables, x_T, key, clip=True)
+    covered = p_sample_loop(
+        apply_fn, params, tables, x_T, key, clip=True, encoder_reuse=3,
+        reuse_exact_head=4, reuse_exact_tail=6,
+    )
+    np.testing.assert_allclose(np.asarray(covered), np.asarray(exact),
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("head,tail", [(0, 4), (3, 0), (2, 3)])
+def test_reuse_exact_windows_run(small_unet, head, tail):
+    """Partial exact windows jit, stay finite, and land closer to (or at
+    least not wildly off) the exact chain."""
+    model, params, apply_fn = small_unet
+    sched = NoiseSchedule.create(diffusion_steps=10, mode="cosine")
+    tables = DiffusionTables.from_schedule(sched)
+    key = jax.random.PRNGKey(8)
+    x_T = jax.random.normal(key, (2, 8, 8, 3), jnp.float32)
+    exact = p_sample_loop(apply_fn, params, tables, x_T, key, clip=True)
+    out = jax.jit(
+        lambda p, xt, kk: p_sample_loop(
+            apply_fn, p, tables, xt, kk, clip=True, encoder_reuse=2,
+            reuse_exact_head=head, reuse_exact_tail=tail,
+        )
+    )(params, x_T, key)
+    assert out.shape == exact.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
