@@ -38,8 +38,12 @@ def _attn_kernel(qkv_ref, out_ref, *, ch: int, scale: float):
         precision=jax.lax.Precision.HIGHEST,
     )
     w = jax.nn.softmax(scores, axis=-1)
+    # keep the second matmul in f32 too: this Mosaic build rejects bf16 lhs
+    # ("Bad lhs type" on vector<...xbf16> tpu.matmul), and f32 accumulate
+    # matches the XLA path's softmax@v numerics
     out = jax.lax.dot_general(
-        w.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+        w, v.astype(jnp.float32),
+        dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
