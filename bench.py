@@ -29,13 +29,15 @@ arXiv:2312.09608): the UNet encoder (~30% of a step) runs every 3rd
 reverse step; in between the decoder reruns on cached skip features with
 fresh timestep embeddings.  Measured 36.1 img/s (k=1 28.4 / k=2 33.9 /
 k=5 38.0 / k=10 39.8).  This is an APPROXIMATE sampler; the quality
-evidence, measured on a trained T=1000 model (docs/results/*.json,
-docs/RESULTS.md): per-sample RMSE vs the exact chain 0.34 (genuine
-approximation error — the chain is contractive, chaos floor 6e-4); sample
-std 12% lower than exact; but distributionally (Frechet over
-moments/gradients/FFT-band features vs the training data) plain k=3 scores
-2.44 vs exact's 6.06 — the smoothing lands CLOSER to the data than the
-exact chain on this model.  Set ENCODER_REUSE = 1 for the exact sampler
+evidence, measured on trained models (docs/results/*.json,
+docs/RESULTS.md): on THIS flagship UNet trained to convergence, in THIS
+bench configuration (250-step respaced chain), k=3 costs sample std -2%
+and a feature-space Frechet-to-data of 0.167 vs 0.092 exact (floor 0.013);
+on the full T=1000 chain k=3 is statistically indistinguishable from exact
+(0.154 vs 0.149).  On a small 32ch model the cost is larger (std -12%) —
+quality impact is model-dependent; calibrate with
+scripts/eval_reuse_distributional.py.  Set ENCODER_REUSE = 1 for the exact
+sampler
 (28.4 img/s, still 14.2x the reference estimate); every non-bench endpoint
 defaults to exact.  Kernel scoreboard: docs/KERNELS.md.
 """

@@ -17,6 +17,7 @@ dataset's, alongside the exact sampler's distance (the yardstick) and a
 dataset split-half floor.  Writes docs/results/encoder_reuse_frechet.json.
 
 Usage: python scripts/eval_reuse_distributional.py <run_dir> [n_samples]
+           [config_set: full|bench] [out_name]
 """
 
 import json
@@ -25,15 +26,25 @@ from pathlib import Path
 
 import numpy as np
 
-CONFIGS = [
-    # (name, kwargs for generate_images)
-    ("exact", dict(encoder_reuse=1)),
-    ("k3", dict(encoder_reuse=3)),
-    ("k3_l0.003", dict(encoder_reuse=3, reuse_prior_noise=0.003)),
-    ("k3_l0.004", dict(encoder_reuse=3, reuse_prior_noise=0.004)),
-    ("k3_l0.005", dict(encoder_reuse=3, reuse_prior_noise=0.005)),
-    ("k2_l0.002", dict(encoder_reuse=2, reuse_prior_noise=0.002)),
-]
+CONFIG_SETS = {
+    # full lambda-calibration sweep (used on the small-UNet study model)
+    "full": [
+        ("exact", dict(encoder_reuse=1)),
+        ("k3", dict(encoder_reuse=3)),
+        ("k3_l0.003", dict(encoder_reuse=3, reuse_prior_noise=0.003)),
+        ("k3_l0.004", dict(encoder_reuse=3, reuse_prior_noise=0.004)),
+        ("k3_l0.005", dict(encoder_reuse=3, reuse_prior_noise=0.005)),
+        ("k2_l0.002", dict(encoder_reuse=2, reuse_prior_noise=0.002)),
+    ],
+    # exactly bench.py's sampler configuration (250-step respaced chain)
+    # against its exact counterpart, plus the full-T pair
+    "bench": [
+        ("exact", dict(encoder_reuse=1)),
+        ("k3", dict(encoder_reuse=3)),
+        ("exact_250", dict(encoder_reuse=1, num_sample_steps=250)),
+        ("k3_250", dict(encoder_reuse=3, num_sample_steps=250)),
+    ],
+}
 
 
 def features(x: np.ndarray) -> np.ndarray:
@@ -76,6 +87,10 @@ def frechet(a: np.ndarray, b: np.ndarray) -> float:
 def main():
     run_dir = sys.argv[1] if len(sys.argv) > 1 else "runs/synstudy_linear_T1000"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    configs = CONFIG_SETS[sys.argv[3] if len(sys.argv) > 3 else "full"]
+    out_name = (
+        sys.argv[4] if len(sys.argv) > 4 else "encoder_reuse_frechet.json"
+    )
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     from probabilisticdeepdiffusionmodels_tpu.cli.sample import (
@@ -100,7 +115,7 @@ def main():
     floor = frechet(f_data, features(data[perm[half:]]))
 
     out = {"n_samples": n, "dataset_split_half_floor": round(floor, 4)}
-    for name, kw in CONFIGS:
+    for name, kw in configs:
         s = np.asarray(
             engine.generate_images(n=n, minibatch=n, seed=123, **kw)
         )
@@ -112,7 +127,7 @@ def main():
 
     dest = Path("docs/results")
     dest.mkdir(parents=True, exist_ok=True)
-    (dest / "encoder_reuse_frechet.json").write_text(json.dumps(out, indent=1))
+    (dest / out_name).write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 
 
