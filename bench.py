@@ -56,7 +56,21 @@ BATCH = 128
 ENCODER_REUSE = 3  # 1 = exact sampler; see module docstring
 
 
-def main():
+def main(
+    batch=BATCH,
+    steps=STEPS,
+    diffusion_steps=1000,
+    encoder_reuse=None,
+    model_channels=128,
+    num_res_blocks=3,
+    resolution=32,
+    n_rep=3,
+):
+    """Measure and print the headline JSON line.
+
+    Defaults are the production benchmark; tests shrink every dimension to
+    smoke the identical code path on CPU.
+    """
     from probabilisticdeepdiffusionmodels_tpu.core import (
         DiffusionTables,
         NoiseSchedule,
@@ -68,29 +82,30 @@ def main():
         space_timesteps,
     )
 
+    encoder_reuse = ENCODER_REUSE if encoder_reuse is None else encoder_reuse
     model = get_model(
-        32,
+        resolution,
         dict(
             name="unet",
             in_channels=3,
-            model_channels=128,
-            num_res_blocks=3,
+            model_channels=model_channels,
+            num_res_blocks=num_res_blocks,
             attention_resolutions=[16, 8],
             channel_mult=[1, 2, 2, 2],
             num_heads=4,
             compute_dtype="bfloat16",
         ),
     )
-    x = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
-    t = jnp.ones((BATCH,), jnp.int32)
+    x = jnp.zeros((batch, resolution, resolution, 3), jnp.float32)
+    t = jnp.ones((batch,), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), x, t)["params"]
     apply_fn = lambda p, xx, tt, yy=None, **kw: model.apply(
         {"params": p}, xx, tt, yy, **kw
     )
 
     # 250-step chain via respacing of the T=1000 schedule (BASELINE config #3)
-    sched = NoiseSchedule.create(diffusion_steps=1000, mode="linear")
-    kept = space_timesteps(1000, STEPS)
+    sched = NoiseSchedule.create(diffusion_steps=diffusion_steps, mode="linear")
+    kept = space_timesteps(diffusion_steps, steps)
     sub_sched, tmap = respaced_schedule(sched, kept)
     tables = DiffusionTables.from_schedule(sub_sched)
     tmap = jnp.asarray(tmap)
@@ -99,7 +114,7 @@ def main():
     def sample(params, x_T, key):
         return p_sample_loop(
             apply_fn, params, tables, x_T, key, clip=True, timestep_map=tmap,
-            encoder_reuse=ENCODER_REUSE,
+            encoder_reuse=encoder_reuse,
         )
 
     key = jax.random.PRNGKey(1)
@@ -112,7 +127,6 @@ def main():
 
     # chain reps (each consumes the previous output) and pull one value at
     # the end, so the tunnel round-trip is amortized across all reps
-    n_rep = 3
     t0 = time.perf_counter()
     out = x_T
     for i in range(n_rep):
@@ -121,17 +135,15 @@ def main():
     dt = (time.perf_counter() - t0) / n_rep
     assert np.isfinite(checksum)
 
-    img_per_sec = BATCH / dt
-    print(
-        json.dumps(
-            {
-                "metric": "sampler_images_per_sec_per_chip_250step_ddpm_cifar_unet",
-                "value": round(img_per_sec, 2),
-                "unit": "img/s",
-                "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
-            }
-        )
-    )
+    img_per_sec = batch / dt
+    result = {
+        "metric": "sampler_images_per_sec_per_chip_250step_ddpm_cifar_unet",
+        "value": round(img_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":
