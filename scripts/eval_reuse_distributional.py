@@ -44,6 +44,13 @@ CONFIG_SETS = {
         ("exact_250", dict(encoder_reuse=1, num_sample_steps=250)),
         ("k3_250", dict(encoder_reuse=3, num_sample_steps=250)),
     ],
+    # fast samplers (BASELINE config #3): strided ancestral + DDIM
+    "fast": [
+        ("exact", dict(encoder_reuse=1)),
+        ("strided_50", dict(encoder_reuse=1, num_sample_steps=50)),
+        ("ddim_50", dict(ddim=True, num_sample_steps=50)),
+        ("ddim_50_eta1", dict(ddim=True, ddim_eta=1.0, num_sample_steps=50)),
+    ],
 }
 
 

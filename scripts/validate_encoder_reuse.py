@@ -17,7 +17,7 @@ accelerated ones (k in {2,3,5}) and evaluates two things:
 
 Writes docs/results/encoder_reuse_quality.json and a side-by-side grid.
 
-Usage: python scripts/validate_encoder_reuse.py <run_dir> [n_images]
+Usage: python scripts/validate_encoder_reuse.py <run_dir> [n_images] [tag]
 """
 
 import json
@@ -40,6 +40,7 @@ def _dist_stats(x):
 def main():
     run_dir = sys.argv[1] if len(sys.argv) > 1 else "runs/synstudy_linear_T1000"
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    tag = f"_{sys.argv[3]}" if len(sys.argv) > 3 else ""
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import jax
@@ -123,9 +124,11 @@ def main():
     dest = Path("docs/results")
     dest.mkdir(parents=True, exist_ok=True)
     fig.suptitle("encoder_reuse: exact (k=1) vs accelerated, same noise")
-    fig.savefig(dest / "encoder_reuse_quality.png", dpi=110,
+    fig.savefig(dest / f"encoder_reuse_quality{tag}.png", dpi=110,
                 bbox_inches="tight")
-    (dest / "encoder_reuse_quality.json").write_text(json.dumps(out, indent=1))
+    (dest / f"encoder_reuse_quality{tag}.json").write_text(
+        json.dumps(out, indent=1)
+    )
     print(json.dumps(out))
 
 
