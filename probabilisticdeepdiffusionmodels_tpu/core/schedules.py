@@ -218,6 +218,21 @@ class NoiseSchedule:
             betas_np = np.asarray(betas, dtype=np.float32)
         t = betas_np.shape[0]
         assert t == diffusion_steps
+        if np.any(betas_np >= 1.0):
+            # the reference's linear ramp scales by 1000/T (get_betas), so
+            # T below ~50 yields beta >= 1 -> negative alpha -> NaN sqrt
+            # buffers.  The reference fails silently; surface it loudly.
+            import warnings
+
+            warnings.warn(
+                f"noise schedule has beta >= 1 (max {betas_np.max():.3g}); "
+                "alpha goes non-positive and the sqrt buffers will be NaN. "
+                "For the linear mode this happens at small T because betas "
+                "scale by 1000/T (reference parity); use a larger T or "
+                "explicit beta_start/beta_end.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
         alphas = (np.float32(1.0) - betas_np).astype(np.float32)
         alphas_sqrt = _sqrt_f32(alphas)

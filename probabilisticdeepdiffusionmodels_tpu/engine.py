@@ -437,24 +437,25 @@ class DiffusionEngine:
                     else data_sharding(self.mesh, x_t.ndim)
                 )
                 x_t = jax.device_put(x_t, shard)
+            reuse = int(
+                encoder_reuse
+                if encoder_reuse is not None
+                else self.encoder_reuse
+            )
+            if reuse > 1:
+                from .models.unet import SuperResModel, UNetModel
+
+                if not isinstance(self.model, (UNetModel, SuperResModel)):
+                    raise ValueError(
+                        "encoder_reuse>1 requires a UNet-family model "
+                        "(the encoder cache is a UNet concept)"
+                    )
             if ddim:
                 fn = self._sample_jit(
                     "ddim", eta=ddim_eta, clip=self.clip_while_generating,
+                    encoder_reuse=reuse,
                 )
             else:
-                reuse = int(
-                    encoder_reuse
-                    if encoder_reuse is not None
-                    else self.encoder_reuse
-                )
-                if reuse > 1:
-                    from .models.unet import SuperResModel, UNetModel
-
-                    if not isinstance(self.model, (UNetModel, SuperResModel)):
-                        raise ValueError(
-                            "encoder_reuse>1 requires a UNet-family model "
-                            "(the encoder cache is a UNet concept)"
-                        )
                 static = dict(
                     sigma_mode=self.sigma_mode,
                     clip=self.clip_while_generating, mean_only=mean_only,

@@ -358,21 +358,21 @@ def ddim_sample_loop(
     clip: bool = False,
     y: Optional[jax.Array] = None,
     timestep_map: Optional[jax.Array] = None,
+    encoder_reuse: int = 1,
 ) -> jax.Array:
     """DDIM sampling (deterministic at eta=0) over the given tables.
 
     x_{t-1} = sqrt(abar_{t-1}) x0 + sqrt(1 - abar_{t-1} - s^2) eps + s z,
     s = eta * sqrt((1-abar_{t-1})/(1-abar_t)) * sqrt(1 - abar_t/abar_{t-1}).
     Combine with respaced_schedule for 50-step fast sampling
-    (BASELINE config #3).
+    (BASELINE config #3).  ``encoder_reuse=k`` composes the Faster-Diffusion
+    encoder cache with DDIM exactly as in p_sample_loop (k=1 exact).
     """
     T = t_start if t_start is not None else tables.diffusion_steps
     b = x_t.shape[0]
-    ts = jnp.arange(T, 0, -1)
 
-    def body(x, t_step):
+    def update(x, t_step, eps):
         t = jnp.full((b,), t_step, dtype=jnp.int32)
-        eps, v = _model_eps(apply_fn, params, tables, x, t, y, timestep_map)
         x0 = D.xstart_from_epsilon(tables, x, t, eps, clip=clip)
         abar = D.expand_to(tables.alphas_hat, t, x.ndim)
         abar_prev = D.expand_to(tables.alphas_hat_prev, t, x.ndim)
@@ -390,10 +390,42 @@ def ddim_sample_loop(
                 jax.random.fold_in(key, t_step), x.shape, x.dtype
             )
             nonterminal = D.expand_to_mask(t > 1, x.ndim).astype(x.dtype)
-            x = mean + sigma * z * nonterminal
-        else:
-            x = mean
+            return mean + sigma * z * nonterminal
+        return mean
+
+    def body(x, t_step):
+        t = jnp.full((b,), t_step, dtype=jnp.int32)
+        eps, v = _model_eps(apply_fn, params, tables, x, t, y, timestep_map)
+        return update(x, t_step, eps), None
+
+    k = int(encoder_reuse or 1)
+    if k <= 1:
+        x_final, _ = jax.lax.scan(body, x_t, jnp.arange(T, 0, -1))
+        return x_final
+
+    # segmented encoder-reuse, same structure as the ancestral loop:
+    # key step runs the full UNet and records the cache; the k-1 following
+    # steps rerun middle+decoder on it with fresh timestep embeddings
+    head_n = T % k
+    x = x_t
+    if head_n:
+        x, _ = jax.lax.scan(body, x, jnp.arange(T, T - head_n, -1))
+
+    def seg_body(x, t0):
+        t = jnp.full((b,), t0, dtype=jnp.int32)
+        eps, v, cache = _model_eps(
+            apply_fn, params, tables, x, t, y, timestep_map, return_cache=True
+        )
+        x = update(x, t0, eps)
+        for j in range(1, k):
+            t_j = t0 - j
+            t_vec = jnp.full((b,), t_j, dtype=jnp.int32)
+            eps_j, _ = _model_eps(
+                apply_fn, params, tables, x, t_vec, y, timestep_map,
+                cache=cache,
+            )
+            x = update(x, t_j, eps_j)
         return x, None
 
-    x_final, _ = jax.lax.scan(body, x_t, ts)
-    return x_final
+    x, _ = jax.lax.scan(seg_body, x, jnp.arange(T - head_n, 0, -k))
+    return x

@@ -50,6 +50,7 @@ CONFIG_SETS = {
         ("strided_50", dict(encoder_reuse=1, num_sample_steps=50)),
         ("ddim_50", dict(ddim=True, num_sample_steps=50)),
         ("ddim_50_eta1", dict(ddim=True, ddim_eta=1.0, num_sample_steps=50)),
+        ("ddim_50_k3", dict(ddim=True, num_sample_steps=50, encoder_reuse=3)),
     ],
 }
 

@@ -187,3 +187,53 @@ def test_reuse_exact_windows_run(small_unet, head, tail):
     )(params, x_T, key)
     assert out.shape == exact.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_ddim_encoder_reuse(small_unet):
+    """DDIM + encoder cache: k=1 is the exact DDIM chain; k>1 jits, stays
+    finite, approximates (and differs once eps depends on the input)."""
+    from probabilisticdeepdiffusionmodels_tpu.sample import ddim_sample_loop
+
+    model, params, apply_fn = small_unet
+    sched = NoiseSchedule.create(diffusion_steps=10, mode="cosine")
+    tables = DiffusionTables.from_schedule(sched)
+    key = jax.random.PRNGKey(9)
+    x_T = jax.random.normal(key, (2, 8, 8, 3), jnp.float32)
+    exact = ddim_sample_loop(apply_fn, params, tables, x_T, key, clip=True)
+    k1 = ddim_sample_loop(
+        apply_fn, params, tables, x_T, key, clip=True, encoder_reuse=1
+    )
+    np.testing.assert_array_equal(np.asarray(exact), np.asarray(k1))
+    for k in (2, 3):
+        out = jax.jit(
+            lambda p, xt, kk, _k=k: ddim_sample_loop(
+                apply_fn, p, tables, xt, kk, clip=True, encoder_reuse=_k
+            )
+        )(params, x_T, key)
+        assert out.shape == exact.shape
+        assert bool(jnp.all(jnp.isfinite(out)))
+        assert not np.array_equal(np.asarray(out), np.asarray(exact))
+
+
+def test_engine_ddim_encoder_reuse_endpoint():
+    from probabilisticdeepdiffusionmodels_tpu.engine import DiffusionEngine
+
+    eng = DiffusionEngine(
+        model_config=dict(
+            name="unet",
+            in_channels=1,
+            model_channels=32,
+            num_res_blocks=1,
+            attention_resolutions=[],
+            channel_mult=[1],
+            num_heads=1,
+        ),
+        optimizer_config=dict(lr=1e-4),
+        diffusion_steps=6,
+        mode="cosine",
+        resolution=8,
+    )
+    imgs = eng.generate_images(
+        n=2, minibatch=2, seed=0, ddim=True, encoder_reuse=2
+    )
+    assert imgs.shape == (2, 8, 8, 1) and np.isfinite(imgs).all()
