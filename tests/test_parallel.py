@@ -165,3 +165,46 @@ def test_spatial_sharded_forward_matches_single_device():
     ps = jax.device_put(params, replicated(mesh))
     out = np.asarray(fwd(ps, xs, t))
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-6)
+
+
+def test_batch_sharded_sampling_with_encoder_reuse():
+    """The bench configuration (encoder_reuse>1) must also be a pure layout
+    change under the data-parallel mesh: sharded == single-device."""
+    from probabilisticdeepdiffusionmodels_tpu.models import get_model
+
+    model = get_model(
+        8,
+        dict(
+            name="unet",
+            in_channels=1,
+            model_channels=32,
+            num_res_blocks=1,
+            attention_resolutions=[4],
+            channel_mult=[1, 2],
+            num_heads=2,
+        ),
+    )
+    x = jnp.zeros((8, 8, 8, 1), jnp.float32)
+    tvec = jnp.ones((8,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, tvec)["params"]
+
+    def apply_fn(p, xx, tt, yy=None, **kw):
+        return model.apply({"params": p}, xx, tt, yy, **kw)
+
+    sched = NoiseSchedule.create(diffusion_steps=10, mode="cosine")
+    tables = DiffusionTables.from_schedule(sched)
+    key = jax.random.PRNGKey(4)
+    x_T = jax.random.normal(key, (8, 8, 8, 1), jnp.float32)
+
+    def run(p, xt):
+        return p_sample_loop(
+            apply_fn, p, tables, xt, key, clip=True, encoder_reuse=3
+        )
+
+    single = np.asarray(jax.jit(run)(params, x_T))
+
+    mesh = make_mesh(8)
+    xs = jax.device_put(x_T, data_sharding(mesh, x_T.ndim))
+    ps = jax.device_put(params, replicated(mesh))
+    sharded = np.asarray(jax.jit(run)(ps, xs))
+    np.testing.assert_allclose(sharded, single, rtol=2e-6, atol=2e-6)
