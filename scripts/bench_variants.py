@@ -23,7 +23,7 @@ STEPS = 250
 BATCH = 128
 
 
-def build(use_pallas_attention):
+def build(use_pallas_attention, steps=STEPS):
     from probabilisticdeepdiffusionmodels_tpu.core import (
         DiffusionTables,
         NoiseSchedule,
@@ -55,17 +55,23 @@ def build(use_pallas_attention):
         {"params": p}, xx, tt, yy, **kw
     )
     sched = NoiseSchedule.create(diffusion_steps=1000, mode="linear")
-    sub_sched, tmap = respaced_schedule(sched, space_timesteps(1000, STEPS))
+    sub_sched, tmap = respaced_schedule(sched, space_timesteps(1000, steps))
     tables = DiffusionTables.from_schedule(sub_sched)
     return apply_fn, params, tables, jnp.asarray(tmap)
 
 
-def measure(apply_fn, params, tables, tmap, encoder_reuse, n_rep=3):
-    from probabilisticdeepdiffusionmodels_tpu.sample import p_sample_loop
+def measure(apply_fn, params, tables, tmap, encoder_reuse, n_rep=3,
+            ddim=False):
+    from probabilisticdeepdiffusionmodels_tpu.sample import (
+        ddim_sample_loop,
+        p_sample_loop,
+    )
+
+    loop = ddim_sample_loop if ddim else p_sample_loop
 
     @jax.jit
     def sample(params, x_T, key):
-        return p_sample_loop(
+        return loop(
             apply_fn, params, tables, x_T, key, clip=True,
             timestep_map=tmap, encoder_reuse=encoder_reuse,
         )
@@ -84,13 +90,26 @@ def measure(apply_fn, params, tables, tmap, encoder_reuse, n_rep=3):
 
 
 def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "default"
     results = {}
-    for pallas_attn in (False, True):
-        apply_fn, params, tables, tmap = build(pallas_attn)
-        for k in (1, 3):
-            name = f"reuse{k}" + ("_pallas_attn" if pallas_attn else "")
-            results[name] = measure(apply_fn, params, tables, tmap, k)
-            print(f"{name}: {results[name]} img/s", flush=True)
+    if mode == "fast":
+        # 50-step fast samplers (BASELINE config #3): strided ancestral and
+        # DDIM, each exact and with encoder reuse
+        apply_fn, params, tables, tmap = build(False, steps=50)
+        for ddim in (False, True):
+            for k in (1, 3):
+                name = ("ddim50" if ddim else "strided50") + f"_reuse{k}"
+                results[name] = measure(
+                    apply_fn, params, tables, tmap, k, ddim=ddim
+                )
+                print(f"{name}: {results[name]} img/s", flush=True)
+    else:
+        for pallas_attn in (False, True):
+            apply_fn, params, tables, tmap = build(pallas_attn)
+            for k in (1, 3):
+                name = f"reuse{k}" + ("_pallas_attn" if pallas_attn else "")
+                results[name] = measure(apply_fn, params, tables, tmap, k)
+                print(f"{name}: {results[name]} img/s", flush=True)
     print(json.dumps(results))
 
 
