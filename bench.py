@@ -1,6 +1,13 @@
 """Headline benchmark: sampler images/sec/chip, 250-step DDPM, CIFAR UNet.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"encoder_reuse_k", "encoder_reuse_img_per_sec"}.
+
+``value`` is the EXACT 250-step ancestral sampler (comparable across
+rounds: BENCH_r01 measured the same thing), and the approximate
+encoder-reuse sampler's rate rides alongside in
+``encoder_reuse_img_per_sec`` (VERDICT r2 weak #1 / next #3: the headline
+number must not silently change algorithms between rounds).
 
 The metric matches BASELINE.json's target ("sampler images/sec/chip
 (250-step DDPM)") on the flagship CIFAR-10 UNet (reference
@@ -19,27 +26,22 @@ own rate on its hardware ("DTU cluster GPUs", i.e. V100-class):
   * batch 256 (scripts/fid_score's minibatch): 256*16.8e9/5.5e12 = 780 ms
     per step => /250 steps => ~1.25 img/s; rounded UP generously to 2.0 to
     absorb estimate error in the reference's favor.
-Measured here (v5e-1, bf16, whole trajectory as one lax.scan): ~28.4 img/s
-exact at ~55% MFU of the 197-TFLOP chip — the sampler runs at raw
-model-forward speed (forward-only chain: 28.5), so further gains must come
-from the model math itself.
+Measured r2 (v5e-1, bf16, whole trajectory as one lax.scan): 28.4 img/s
+exact at ~55-60% MFU of the 197-TFLOP chip — the sampler runs at raw
+model-forward speed (forward-only chain: 28.5), so further exact-path
+gains must come from the model math itself (kernel scoreboard:
+docs/KERNELS.md).
 
-Round-2 configuration: ENCODER_REUSE = 3 ("Faster Diffusion",
-arXiv:2312.09608): the UNet encoder (~30% of a step) runs every 3rd
-reverse step; in between the decoder reruns on cached skip features with
-fresh timestep embeddings.  Measured 36.1 img/s (k=1 28.4 / k=2 33.9 /
-k=5 38.0 / k=10 39.8).  This is an APPROXIMATE sampler; the quality
-evidence, measured on trained models (docs/results/*.json,
-docs/RESULTS.md): on THIS flagship UNet trained to convergence, in THIS
-bench configuration (250-step respaced chain), k=3 costs sample std -2%
-and a feature-space Frechet-to-data of 0.167 vs 0.092 exact (floor 0.013);
-on the full T=1000 chain k=3 is statistically indistinguishable from exact
-(0.154 vs 0.149).  On a small 32ch model the cost is larger (std -12%) —
-quality impact is model-dependent; calibrate with
-scripts/eval_reuse_distributional.py.  Set ENCODER_REUSE = 1 for the exact
-sampler
-(28.4 img/s, still 14.2x the reference estimate); every non-bench endpoint
-defaults to exact.  Kernel scoreboard: docs/KERNELS.md.
+ENCODER_REUSE = 3 ("Faster Diffusion", arXiv:2312.09608): the UNet
+encoder (~30% of a step) runs every 3rd reverse step; in between the
+decoder reruns on cached skip features with fresh timestep embeddings.
+Measured r2: 36.1 img/s (k=2 33.9 / k=5 38.0 / k=10 39.8).  This is an
+APPROXIMATE sampler; quality measured on trained models (docs/RESULTS.md,
+docs/results/*.json): indistinguishable from exact on the full T=1000
+chain and under DDIM-50, sample std -2% / feature-Frechet 0.167-vs-0.092
+(floor 0.013) at this bench's 250-step respacing.  Fastest validated
+full config: DDIM-50 + k=3 = 177 img/s (Frechet better than
+ancestral-1000; docs/RESULTS.md).
 """
 
 import json
@@ -53,7 +55,24 @@ import jax.numpy as jnp
 REFERENCE_IMG_PER_SEC = 2.0
 STEPS = 250
 BATCH = 128
-ENCODER_REUSE = 3  # 1 = exact sampler; see module docstring
+ENCODER_REUSE = 3  # the alongside-reported approximate sampler's k
+
+
+def _measure(sample_fn, params, x_T, key, batch, n_rep):
+    """Compile, then time n_rep chained runs (each consumes the previous
+    output) with ONE host value pull at the end — the tunnel round-trip is
+    amortized across all reps (block_until_ready does not reliably wait
+    for remote completion on tunneled backends)."""
+    w = sample_fn(params, x_T, key)
+    assert np.isfinite(float(jnp.sum(w))), "non-finite warmup output"
+    t0 = time.perf_counter()
+    out = x_T
+    for i in range(n_rep):
+        out = sample_fn(params, out, jax.random.fold_in(key, i))
+    checksum = float(jnp.sum(jnp.abs(out)))
+    dt = (time.perf_counter() - t0) / n_rep
+    assert np.isfinite(checksum)
+    return batch / dt
 
 
 def main(
@@ -68,6 +87,10 @@ def main(
 ):
     """Measure and print the headline JSON line.
 
+    ``encoder_reuse=None`` (production) measures BOTH the exact sampler
+    (reported as ``value``) and the k=ENCODER_REUSE approximate sampler
+    (reported as ``encoder_reuse_img_per_sec``).  An explicit int measures
+    only that mode as ``value`` (tests smoke each path separately).
     Defaults are the production benchmark; tests shrink every dimension to
     smoke the identical code path on CPU.
     """
@@ -82,7 +105,6 @@ def main(
         space_timesteps,
     )
 
-    encoder_reuse = ENCODER_REUSE if encoder_reuse is None else encoder_reuse
     model = get_model(
         resolution,
         dict(
@@ -110,38 +132,41 @@ def main(
     tables = DiffusionTables.from_schedule(sub_sched)
     tmap = jnp.asarray(tmap)
 
-    @jax.jit
-    def sample(params, x_T, key):
-        return p_sample_loop(
-            apply_fn, params, tables, x_T, key, clip=True, timestep_map=tmap,
-            encoder_reuse=encoder_reuse,
-        )
+    def make_sampler(k):
+        @jax.jit
+        def sample(params, x_T, key):
+            return p_sample_loop(
+                apply_fn, params, tables, x_T, key, clip=True,
+                timestep_map=tmap, encoder_reuse=k,
+            )
+
+        return sample
 
     key = jax.random.PRNGKey(1)
     x_T = jax.random.normal(key, x.shape, jnp.float32)
 
-    # warmup/compile (value pull: block_until_ready does not reliably wait
-    # for remote completion on tunneled backends)
-    w = sample(params, x_T, key)
-    assert np.isfinite(float(jnp.sum(w))), "non-finite warmup output"
-
-    # chain reps (each consumes the previous output) and pull one value at
-    # the end, so the tunnel round-trip is amortized across all reps
-    t0 = time.perf_counter()
-    out = x_T
-    for i in range(n_rep):
-        out = sample(params, out, jax.random.fold_in(key, i))
-    checksum = float(jnp.sum(jnp.abs(out)))
-    dt = (time.perf_counter() - t0) / n_rep
-    assert np.isfinite(checksum)
-
-    img_per_sec = batch / dt
-    result = {
-        "metric": "sampler_images_per_sec_per_chip_250step_ddpm_cifar_unet",
-        "value": round(img_per_sec, 2),
-        "unit": "img/s",
-        "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC, 2),
-    }
+    if encoder_reuse is not None:
+        value = _measure(make_sampler(int(encoder_reuse)), params, x_T, key,
+                         batch, n_rep)
+        result = {
+            "metric": "sampler_images_per_sec_per_chip_250step_ddpm_cifar_unet",
+            "value": round(value, 2),
+            "unit": "img/s",
+            "vs_baseline": round(value / REFERENCE_IMG_PER_SEC, 2),
+            "encoder_reuse_k": int(encoder_reuse),
+        }
+    else:
+        exact = _measure(make_sampler(1), params, x_T, key, batch, n_rep)
+        reuse = _measure(make_sampler(ENCODER_REUSE), params, x_T, key,
+                         batch, n_rep)
+        result = {
+            "metric": "sampler_images_per_sec_per_chip_250step_ddpm_cifar_unet",
+            "value": round(exact, 2),
+            "unit": "img/s",
+            "vs_baseline": round(exact / REFERENCE_IMG_PER_SEC, 2),
+            "encoder_reuse_k": ENCODER_REUSE,
+            "encoder_reuse_img_per_sec": round(reuse, 2),
+        }
     print(json.dumps(result))
     return result
 

@@ -4,7 +4,10 @@ Reference surface: scripts/fid_score.py:31-71 (argv: run id + clip flag;
 samples 10k images, scores against the val split) — here:
 
     python -m probabilisticdeepdiffusionmodels_tpu.cli.fid_score \
-        <run_dir> <clip: true|false> [n_samples] [num_sample_steps]
+        <run_dir> <clip: true|false> [n_samples] [num_sample_steps] [devices]
+
+``devices`` (int or "all") builds a data mesh so the 10k-sample generation
+is batch-sharded over the slice (VERDICT r2 next #1).
 
 The reference additionally polls gpustat for a free GPU (scripts/
 fid_score.py:45-49); irrelevant on TPU where the job owns its chips.
@@ -30,8 +33,11 @@ def main(argv=None):
     clip = (argv[1].lower() == "true") if len(argv) > 1 else True
     n_samples = int(argv[2]) if len(argv) > 2 else 10000
     num_steps = int(argv[3]) if len(argv) > 3 else None
+    devices = argv[4] if len(argv) > 4 else None
 
-    engine, run_cfg = load_engine_from_run(run_dir, clip_while_generating=clip)
+    engine, run_cfg = load_engine_from_run(
+        run_dir, clip_while_generating=clip, devices=devices
+    )
     _, val_loader = build_loaders(run_cfg)
     normalize = (run_cfg["data"].get("transformation_kwargs") or {}).get("normalize")
 

@@ -23,14 +23,17 @@ from ..config import load_config
 from ..data.datasets import DataLoader, get_dataset
 from ..engine import DiffusionEngine
 from ..logging.sink import MetricLogger, RunDir, auto_tags
+from ..parallel import initialize_runtime, make_mesh
 from ..train.checkpoint import CheckpointManager
 from ..train.loop import Trainer
 from ..viz.hooks import VisualizationCallback
 
-__all__ = ["run_training", "main"]
+__all__ = ["run_training", "main", "build_mesh"]
 
 
-def build_loaders(cfg):
+def build_loaders(cfg, shard_id: int = 0, num_shards: int = 1):
+    """``shard_id``/``num_shards``: per-process data sharding for
+    multi-host launches (each host loads a disjoint shard; SURVEY §5.8)."""
     data_cfg = dict(cfg["data"])
     name = data_cfg.pop("name")
     data_cfg.pop("num_workers", None)
@@ -38,14 +41,34 @@ def build_loaders(cfg):
     extra = {
         k: data_cfg.pop(k)
         for k in list(data_cfg)
-        if k not in ("batch_size", "transformation_kwargs", "num_samples_per_epoch")
+        if k not in ("batch_size", "transformation_kwargs",
+                     "num_samples_per_epoch", "superres_factor")
     }
     train_ds = get_dataset(name, train=True, resolution=resolution, **extra)
     val_ds = get_dataset(name, train=False, resolution=resolution, **extra)
     seed = int(cfg.get("seed", 0) or 0)
-    train_loader = DataLoader(train_ds, train=True, seed=seed, **data_cfg)
-    val_loader = DataLoader(val_ds, train=False, seed=seed + 1, **data_cfg)
+    train_loader = DataLoader(
+        train_ds, train=True, seed=seed,
+        shard_id=shard_id, num_shards=num_shards, **data_cfg,
+    )
+    val_loader = DataLoader(
+        val_ds, train=False, seed=seed + 1,
+        shard_id=shard_id, num_shards=num_shards, **data_cfg,
+    )
     return train_loader, val_loader
+
+
+def build_mesh(cfg):
+    """Mesh from the ``trainer.devices`` config key (VERDICT r2 next #1).
+
+    ``devices: all`` uses every visible chip; an int demands exactly that
+    many; absent/1 trains single-device — the CLI-reachable analogue of the
+    reference's ``pl.Trainer(gpus=torch.cuda.device_count())``
+    (reference scripts/train.py:139-150)."""
+    devices = (cfg.get("trainer") or {}).get("devices")
+    if devices in (None, 1, "1"):
+        return None
+    return make_mesh(None if str(devices) == "all" else int(devices))
 
 
 def build_engine(cfg, mesh=None, steps_per_epoch=None) -> DiffusionEngine:
@@ -70,13 +93,34 @@ def build_engine(cfg, mesh=None, steps_per_epoch=None) -> DiffusionEngine:
 
 
 def run_training(cfg) -> dict:
+    # multi-host wiring: on a multi-process launch (coordinator env vars
+    # set) this joins the jax.distributed cluster BEFORE any computation;
+    # single-host it is a no-op returning process 0/1 (SURVEY §5.8,
+    # VERDICT r2 next #2)
+    runtime = initialize_runtime()
     run_dir = RunDir(cfg.get("out_dir", "./runs"), cfg.get("run_name"))
-    run_dir.save_config(cfg)
-    logger = MetricLogger(run_dir, use_wandb=bool(cfg.get("use_wandb")))
-    print(f"[train] run dir: {run_dir.path}  tags: {auto_tags(cfg)}")
+    if runtime.is_main:
+        run_dir.save_config(cfg)
+    logger = MetricLogger(
+        run_dir, use_wandb=bool(cfg.get("use_wandb")) and runtime.is_main,
+        enabled=runtime.is_main,
+    )
+    print(
+        f"[train] run dir: {run_dir.path}  tags: {auto_tags(cfg)}"
+        + (
+            f"  process {runtime.process_index}/{runtime.process_count}"
+            if runtime.is_distributed
+            else ""
+        )
+    )
 
-    train_loader, val_loader = build_loaders(cfg)
-    engine = build_engine(cfg, steps_per_epoch=len(train_loader))
+    train_loader, val_loader = build_loaders(
+        cfg,
+        shard_id=runtime.process_index,
+        num_shards=runtime.process_count,
+    )
+    mesh = build_mesh(cfg)
+    engine = build_engine(cfg, mesh=mesh, steps_per_epoch=len(train_loader))
 
     # resume from a previous run directory (reference cont_run,
     # scripts/train.py:99-102 resumes from a W&B run id); auto_resume=true
@@ -95,6 +139,7 @@ def run_training(cfg) -> dict:
         ckpt = CheckpointManager(prev.checkpoint_dir())
         engine.state = ckpt.restore(engine.state)
         ckpt.close()
+        engine.replicate_state()  # restore lands on the default device
         print(f"[train] resumed from {prev.path} at step {int(engine.state.step)}")
 
     # visualization timesteps: linspace over T, 10 points (5 if T<=30)
@@ -104,8 +149,10 @@ def run_training(cfg) -> dict:
     ts = sorted(set(int(t) for t in np.linspace(1, T - 1, n_vis)))
 
     vis_cfg = dict(cfg.get("visualization") or {})
-    if int(vis_cfg.get("run_every", 5) or 0) <= 0:
-        vis = None  # visualization=none disables the callback entirely
+    if int(vis_cfg.get("run_every", 5) or 0) <= 0 or not runtime.is_main:
+        # visualization=none disables the callback; non-main processes of a
+        # multi-host launch never render media (one coherent artifact set)
+        vis = None
     else:
         val_batch = next(iter(val_loader))[0]
         vis = VisualizationCallback(
@@ -148,9 +195,10 @@ def run_training(cfg) -> dict:
     print(f"[train] done: {result} test: {test_metrics}")
     import json
 
-    (run_dir.path / "final_test.json").write_text(
-        json.dumps({**result, **test_metrics}, default=float)
-    )
+    if runtime.is_main:
+        (run_dir.path / "final_test.json").write_text(
+            json.dumps({**result, **test_metrics}, default=float)
+        )
     logger.close()
     return {**result, **test_metrics, "run_dir": str(run_dir.path)}
 

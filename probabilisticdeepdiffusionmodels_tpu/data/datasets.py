@@ -210,6 +210,7 @@ def make_synthetic(
     rng = np.random.default_rng(seed)
     yy, xx = np.mgrid[0:resolution, 0:resolution].astype(np.float32) / resolution
     imgs = np.empty((n, resolution, resolution, channels), np.uint8)
+    labels = np.empty((n,), np.int32)
     for i in range(n):
         f = rng.uniform(1, 4, size=(channels, 2))
         ph = rng.uniform(0, 2 * np.pi, size=(channels, 2))
@@ -218,7 +219,12 @@ def make_synthetic(
                 2 * np.pi * f[c, 1] * yy + ph[c, 1]
             )
             imgs[i, :, :, c] = (v * 255).astype(np.uint8)
-    labels = rng.integers(0, 10, size=n).astype(np.int32)
+        # the label is INFORMATIVE: the horizontal-frequency band of
+        # channel 0, in 10 equal bins over the sampled [1, 4) range — so a
+        # class-conditional model can (and measurably does) learn
+        # class-dependent structure, and conditioning fidelity can be
+        # verified from the dominant FFT band of generated samples
+        labels[i] = min(9, int((f[0, 0] - 1.0) / 3.0 * 10.0))
     return ArrayDataset(imgs, labels)
 
 
@@ -263,10 +269,18 @@ class DataLoader:
         drop_last: bool = True,
         shard_id: int = 0,
         num_shards: int = 1,
+        superres_factor: Optional[int] = None,
     ):
         """``shard_id``/``num_shards``: multi-host data sharding — each host
         process loads its own disjoint slice of every epoch (the DCN-side
-        half of SPMD input pipelines; see SURVEY.md §5.8)."""
+        half of SPMD input pipelines; see SURVEY.md §5.8).
+
+        ``superres_factor``: yield (high_res, low_res) pairs instead of
+        (image, label) — low_res is the factor-f area-average downsample of
+        the transformed image, feeding SuperResModel's conditioning slot
+        (reference src/modules/unet.py:530-550 conditions on a low_res
+        batch entry; the reference never builds that pipeline — this is the
+        loader half it left to the caller)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.train = train
@@ -278,6 +292,7 @@ class DataLoader:
         assert 0 <= shard_id < num_shards
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.superres_factor = int(superres_factor) if superres_factor else None
 
     def __len__(self):
         n = self.num_samples_per_epoch or len(self.dataset)
@@ -308,7 +323,15 @@ class DataLoader:
             else:
                 raw = self.dataset.images[idx]
                 labels = self.dataset.labels[idx]
-            yield self.transform(raw, self.rng), labels
+            x = self.transform(raw, self.rng)
+            if self.superres_factor:
+                f = self.superres_factor
+                b, h, w, c = x.shape
+                assert h % f == 0 and w % f == 0, (x.shape, f)
+                low = x.reshape(b, h // f, f, w // f, f, c).mean(axis=(2, 4))
+                yield x, low.astype(x.dtype)
+            else:
+                yield x, labels
 
     def __iter__(self):
         return self.epoch()

@@ -69,9 +69,15 @@ class ResBlock(nn.Module):
     use_pallas_conv: bool = False
     dims: int = 2
     dtype: Dtype = jnp.float32
+    # train is a module FIELD, not a __call__ arg: under use_checkpoint the
+    # block is wrapped in nn.remat, which traces every call argument — a
+    # bool call arg would become a tracer and crash the Python branch on it
+    # (found by tests/test_unet.py::test_remat_grads_match)
+    train: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, emb: jax.Array, *, train: bool = False):
+    def __call__(self, x: jax.Array, emb: jax.Array):
+        train = self.train
         in_channels = x.shape[-1]
         k3, k1 = (3,) * self.dims, (1,) * self.dims
         fused = (
@@ -336,6 +342,10 @@ class UNetModel(nn.Module):
             the cached features — callers use this for adjacent timesteps
             where encoder features change slowly.
         """
+        assert not (return_features and cache is not None), (
+            "return_features needs the encoder to run; with cache= the "
+            "'down' activations would be silently empty (ADVICE r2)"
+        )
         emb = self._embed(timesteps, y)
         rb, ab, encoder, middle, decoder = self._blocks()
 
@@ -354,9 +364,10 @@ class UNetModel(nn.Module):
                         use_pallas_conv=self.use_pallas_conv,
                         dims=self.dims,
                         dtype=self.dtype,
+                        train=train,
                         name=name,
                         **kw,
-                    )(h, emb, train=train)
+                    )(h, emb)
                 elif kind == "attn":
                     h = ab(dtype=self.dtype, use_pallas=self.use_pallas_attention,
                            pallas_min_tokens=self.pallas_attention_min_tokens,

@@ -148,8 +148,17 @@ def _pick_nb(batch, h, wd, cin, cout, itemsize):
 
 
 def fits_pallas(x_shape, cout, itemsize):
-    """Whole-image blocks must fit VMEM (one sample, padded + output)."""
+    """Dispatch gate: VMEM fit + Mosaic tiling constraints.
+
+    Whole-image blocks must fit VMEM (one sample, padded + output), and the
+    channel dims must be multiples of the 128-wide vector lane so the
+    (..., C) blocks tile without Mosaic relayouts — small-channel models
+    (e.g. 32ch test UNets) fall back to XLA instead of risking a Mosaic
+    compile failure on real TPU (ADVICE r2).
+    """
     b, h, wd, cin = x_shape
+    if cin % 128 or cout % 128:
+        return False
     need = (
         ((h + 2) * (wd + 2) + h * wd) * cin * itemsize
         + h * wd * cout * (4 + itemsize)
@@ -204,9 +213,7 @@ def _fused(num_groups, eps, interpret, x, gamma, beta, w, bias, emb,
            film_scale, film_shift):
     film = None if film_scale is None else (film_scale, film_shift)
     a, off = gn_affine(x, gamma, beta, num_groups, eps, emb=emb, film=film)
-    if (x.shape[0] % 1 == 0) and fits_pallas(
-        x.shape, w.shape[-1], x.dtype.itemsize
-    ):
+    if fits_pallas(x.shape, w.shape[-1], x.dtype.itemsize):
         return gn_silu_conv3x3_pallas(x, a, off, w, bias, interpret=interpret)
     return _affine_silu_conv_xla(x, a, off, w, bias)
 

@@ -7,3 +7,4 @@ from .mesh import (
     shard_batch,
     spatial_sharding,
 )
+from .runtime import RuntimeInfo, initialize_runtime, runtime_from_env

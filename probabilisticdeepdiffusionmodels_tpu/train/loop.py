@@ -125,6 +125,7 @@ class Trainer:
         best = self.ckpt.best_step()
         if best is not None:
             self.engine.state = self.ckpt.restore(self.engine.state, best)
+            self.engine.replicate_state()  # restore lands on default device
         return {"best_val_loss": best_val, "steps": step}
 
     def _validate(self, val_loader, step) -> Dict[str, float]:
@@ -148,6 +149,8 @@ class Trainer:
         in the run's media dir plus scalar summaries in the metric log (the
         local-artifact equivalent of wandb logger.watch, reference
         scripts/train.py:136-137)."""
+        if not getattr(self.logger, "enabled", True):
+            return  # non-main multi-host process: no media artifacts
         arrays, summary = {}, {}
         for name, sub in self.engine.state.params.items():
             flat = np.concatenate(
@@ -178,7 +181,11 @@ class Trainer:
                 float((avg[sl] * cnt[sl]).sum() / w) if w > 0 else float("nan")
             )
         self.logger.log({**qs, "epoch": epoch}, step=step)
-        np.save(self.run_dir.media_path(f"loss_per_step_epoch{epoch}.npy"), avg)
+        if getattr(self.logger, "enabled", True):
+            # media artifacts are main-process-only on multi-host launches
+            np.save(
+                self.run_dir.media_path(f"loss_per_step_epoch{epoch}.npy"), avg
+            )
         self.engine.state = self.engine.state.replace(
             loss_history=hist.reset_epoch()
         )

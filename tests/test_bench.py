@@ -24,6 +24,11 @@ def test_bench_main_smoke(capsys):
     assert result["unit"] == "img/s"
     assert np.isfinite(result["value"]) and result["value"] > 0
     assert result["vs_baseline"] > 0
+    # exact sampler is the headline value; the approximate encoder-reuse
+    # rate rides alongside so round-over-round trends stay comparable
+    # (VERDICT r2 weak #1)
+    assert result["encoder_reuse_k"] == 3
+    assert result["encoder_reuse_img_per_sec"] > 0
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert out.startswith("{") and '"metric"' in out  # ONE JSON line
 

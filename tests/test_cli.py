@@ -135,3 +135,18 @@ def test_fid_debug_cli_with_tiny_features(trained_run, monkeypatch):
     tr, va = build_loaders(cfg)
     fid = fid_mod.compute_fid_for_loaders(tr, va, normalize="mnist", limit=32)
     assert np.isfinite(fid) and fid >= 0
+
+
+def test_superres_cli_smoke(tmp_path):
+    """SuperRes training end-to-end from the CLI: data.superres_factor
+    feeds the loader's (high, low) pairs into SuperResModel's low_res slot
+    (VERDICT r2 next #4)."""
+    from probabilisticdeepdiffusionmodels_tpu.cli.train import main as train_main
+
+    result = train_main(TINY + [
+        f"out_dir={tmp_path}", "model.name=superres",
+        "data.superres_factor=2", "trainer.max_epochs=1",
+        "run_name=superres_smoke",
+    ])
+    assert np.isfinite(result["best_val_loss"])
+    assert np.isfinite(result["test_nll"])

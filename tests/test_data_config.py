@@ -201,3 +201,43 @@ def test_mnist_idx_loader_roundtrip(tmp_path):
     )
     x, y = next(iter(loader))
     assert x.shape == (4, 28, 28, 1) and x.dtype == np.float32
+
+
+def test_superres_loader_yields_low_res_pairs():
+    """data.superres_factor=f makes the loader yield (high, low) with low =
+    factor-f area downsample of the transformed image — the SuperResModel
+    training pipeline (reference src/modules/unet.py:530-550 consumes
+    low_res; its loader half doesn't exist in the reference)."""
+    from probabilisticdeepdiffusionmodels_tpu.data.datasets import (
+        DataLoader,
+        make_synthetic,
+    )
+
+    ds = make_synthetic(resolution=16, channels=3, n=32)
+    loader = DataLoader(
+        ds, batch_size=8, train=False, superres_factor=2,
+        transformation_kwargs={"normalize": "oneone"}, seed=0,
+    )
+    x, low = next(iter(loader))
+    assert x.shape == (8, 16, 16, 3) and low.shape == (8, 8, 8, 3)
+    expect = x.reshape(8, 8, 2, 8, 2, 3).mean(axis=(2, 4))
+    np.testing.assert_allclose(low, expect, rtol=1e-6)
+
+
+def test_synthetic_labels_are_informative():
+    """Synthetic labels encode the channel-0 horizontal frequency band, so
+    class-conditional training is learnable (VERDICT r2 next #4): the
+    dominant FFT frequency of channel 0 must increase with the label."""
+    from probabilisticdeepdiffusionmodels_tpu.data.datasets import make_synthetic
+
+    ds = make_synthetic(resolution=32, channels=1, n=512)
+    labels = np.asarray(ds.labels)
+    assert len(np.unique(labels)) >= 8  # classes populated
+    imgs = ds.images[..., 0].astype(np.float32) / 255.0
+    # dominant nonzero horizontal frequency per image (mean over rows)
+    spec = np.abs(np.fft.rfft(imgs - imgs.mean(axis=(1, 2), keepdims=True),
+                              axis=2)).mean(axis=1)
+    dom = spec[:, 1:].argmax(axis=1) + 1
+    lo = dom[labels <= 2].mean()
+    hi = dom[labels >= 7].mean()
+    assert hi > lo + 0.5, (lo, hi)

@@ -218,3 +218,77 @@ def test_inception_weight_port_parity_real_checkpoint():
     params = params_from_torch_state_dict(sd)
     got = np.asarray(inception_pool_features(params, jnp.asarray(x)))
     np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-3)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 (virtual) devices")
+def test_mesh_activation_stats_match_host_loop():
+    """Sharded (mesh) FID statistics == host-loop statistics: the feature
+    forward and (sum, outer-sum, count) reduction run on the 8-device mesh
+    with only the final moments reaching the host (SURVEY §5.8; VERDICT r2
+    missing #4 / next #5).  Covers ragged tail batches via the pad+mask
+    path."""
+    from probabilisticdeepdiffusionmodels_tpu.parallel import make_mesh
+
+    def feature_fn(x):  # stand-in for inception: nonlinear, d=12
+        f = jnp.stack(
+            [x.mean(axis=(1, 2, 3)), x.std(axis=(1, 2, 3)),
+             jnp.abs(x).max(axis=(1, 2, 3))], axis=-1,
+        )
+        return jnp.concatenate([f, jnp.tanh(f), f ** 2, jnp.cos(f)], axis=-1)
+
+    rng = np.random.default_rng(0)
+    # ragged batches: 16, 16, 11 (11 exercises padding/masking)
+    batches = [
+        rng.normal(size=(b, 8, 8, 3)).astype(np.float32) for b in (16, 16, 11)
+    ]
+
+    mu_host, cov_host = compute_statistics(iter(batches), feature_fn=feature_fn)
+    mesh = make_mesh(8)
+    mu_mesh, cov_mesh = compute_statistics(
+        iter(batches), feature_fn=feature_fn, mesh=mesh
+    )
+    np.testing.assert_allclose(mu_mesh, mu_host, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(cov_mesh, cov_host, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 (virtual) devices")
+def test_fid_from_engine_uses_engine_mesh():
+    """compute_fid_from_engine on a mesh-carrying engine routes statistics
+    through MeshActivationStats and matches the meshless FID."""
+    from probabilisticdeepdiffusionmodels_tpu.engine import DiffusionEngine
+    from probabilisticdeepdiffusionmodels_tpu.evals.fid import (
+        compute_fid_from_engine,
+    )
+    from probabilisticdeepdiffusionmodels_tpu.parallel import make_mesh
+
+    def feature_fn(x):
+        return jnp.stack(
+            [x.mean(axis=(1, 2, 3)), x.std(axis=(1, 2, 3))], axis=-1
+        )
+
+    cfg = dict(
+        name="unet", in_channels=3, model_channels=16, num_res_blocks=1,
+        attention_resolutions=[], channel_mult=[1], num_heads=1,
+    )
+    rng = np.random.default_rng(1)
+    reals = [(rng.normal(size=(8, 8, 8, 3)).astype(np.float32), None)
+             for _ in range(2)]
+
+    fids = []
+    for mesh in (None, make_mesh(8)):
+        eng = DiffusionEngine(
+            model_config=dict(cfg), optimizer_config={"lr": 1e-3},
+            diffusion_steps=6, mode="cosine", resolution=8, seed=0,
+            mesh=mesh,
+        )
+        import unittest.mock as mock
+        import probabilisticdeepdiffusionmodels_tpu.evals.fid as fid_mod
+
+        with mock.patch.object(fid_mod, "_make_feature_fn",
+                               lambda params: feature_fn), \
+             mock.patch.object(fid_mod, "load_params", lambda: {}):
+            fids.append(compute_fid_from_engine(
+                eng, reals, n_samples=16, minibatch=8, normalize="oneone",
+                real_limit=16,
+            ))
+    np.testing.assert_allclose(fids[1], fids[0], rtol=1e-4, atol=1e-7)
