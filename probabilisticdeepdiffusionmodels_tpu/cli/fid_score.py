@@ -16,6 +16,7 @@ fid_score.py:45-49); irrelevant on TPU where the job owns its chips.
 from __future__ import annotations
 
 import sys
+import time
 
 from ..evals.fid import compute_fid_from_engine
 from .sample import load_engine_from_run
@@ -41,11 +42,19 @@ def main(argv=None):
     _, val_loader = build_loaders(run_cfg)
     normalize = (run_cfg["data"].get("transformation_kwargs") or {}).get("normalize")
 
+    t0 = time.perf_counter()
     fid = compute_fid_from_engine(
         engine, val_loader, n_samples=n_samples, normalize=normalize,
         num_sample_steps=num_steps,
     )
+    wall = time.perf_counter() - t0
     print(f"FID: {fid} (run={run_dir} clip={clip} n={n_samples})")
+    # full-pipeline timing (sampling + inception features + moments) so the
+    # 10k dress-rehearsal run records its cost (VERDICT r2 next #6)
+    print(
+        f"FID pipeline: {wall:.1f} s wall, "
+        f"{n_samples / wall:.2f} sampled-img/s end-to-end"
+    )
     return 0
 
 

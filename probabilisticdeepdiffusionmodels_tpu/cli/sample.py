@@ -116,8 +116,9 @@ def run_sampling(cfg) -> None:
         vis(engine, -1)
         print(f"[sample] regular viz written to {media_dir}")
 
-    if cfg.get("num_sample_steps") or cfg.get("sampler") == "ddim":
-        # fast-sampler generation grid (strided/DDIM, BASELINE config #3)
+    if cfg.get("num_sample_steps") or cfg.get("sampler") in ("ddim", "dpmpp"):
+        # fast-sampler generation grid (strided/DDIM, BASELINE config #3;
+        # sampler=dpmpp selects DPM-Solver++(2M))
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -127,6 +128,8 @@ def run_sampling(cfg) -> None:
             n=n, minibatch=n, seed=0, use_ema=cfg.get("use_ema", True),
             num_sample_steps=cfg.get("num_sample_steps"),
             ddim=cfg.get("sampler") == "ddim",
+            dpm_solver=cfg.get("sampler") == "dpmpp",
+            dpm_order=int(cfg.get("dpm_order", 2)),
         )
         fig, axes = plt.subplots(1, n, figsize=(2 * n, 2.2))
         for i in range(n):

@@ -34,6 +34,7 @@ from .models import get_model
 from .parallel.mesh import data_sharding, replicated, shard_batch, spatial_sharding
 from .sample.sampler import (
     ddim_sample_loop,
+    dpmpp_sample_loop,
     p_sample_loop,
     respaced_schedule,
     space_timesteps,
@@ -149,6 +150,7 @@ class DiffusionEngine:
         reuse_exact_tail: int = 0,
         reuse_sigma_boost: float = 0.0,
         reuse_prior_noise: float = 0.0,
+        reuse_cache_middle: bool = False,
     ):
         self.hparams = dict(
             model_config=dict(model_config),
@@ -174,6 +176,7 @@ class DiffusionEngine:
             reuse_exact_tail=reuse_exact_tail,
             reuse_sigma_boost=reuse_sigma_boost,
             reuse_prior_noise=reuse_prior_noise,
+            reuse_cache_middle=reuse_cache_middle,
         )
         # sampling acceleration: run the UNet encoder every k-th step only
         # (Faster Diffusion, arXiv:2312.09608); 1 = exact sampling.  The
@@ -184,6 +187,7 @@ class DiffusionEngine:
         self.reuse_exact_tail = int(reuse_exact_tail or 0)
         self.reuse_sigma_boost = float(reuse_sigma_boost or 0.0)
         self.reuse_prior_noise = float(reuse_prior_noise or 0.0)
+        self.reuse_cache_middle = bool(reuse_cache_middle)
         self.diffusion_steps = diffusion_steps
         self.resolution = resolution
         self.sigma_mode = sigma_mode
@@ -414,7 +418,11 @@ class DiffusionEngine:
         cache_key = (loop_name, tuple(sorted(static_kw.items())))
         fn = self._sample_jits.get(cache_key)
         if fn is None:
-            loop = {"p": p_sample_loop, "ddim": ddim_sample_loop}[loop_name]
+            loop = {
+                "p": p_sample_loop,
+                "ddim": ddim_sample_loop,
+                "dpmpp": dpmpp_sample_loop,
+            }[loop_name]
             apply_fn = self._apply
 
             def run(params, tables, x_t, key, y, timestep_map):
@@ -459,13 +467,17 @@ class DiffusionEngine:
 
     def generate_images(
         self, n=1, minibatch=4, mean_only=False, seed=None, use_ema=True,
-        num_sample_steps=None, ddim=False, ddim_eta=0.0, shard_mode="batch",
+        num_sample_steps=None, ddim=False, ddim_eta=0.0,
+        dpm_solver=False, dpm_order=2, shard_mode="batch",
         y=None, encoder_reuse=None, x_T=None,
         reuse_exact_head=None, reuse_exact_tail=None,
         reuse_sigma_boost=None, reuse_prior_noise=None,
+        reuse_cache_middle=None,
     ) -> np.ndarray:
         """Batched generation (reference engine.py:556-574), with optional
-        strided/DDIM fast sampling (BASELINE config #3 extension).
+        strided/DDIM fast sampling (BASELINE config #3 extension) and
+        DPM-Solver++ multistep sampling (``dpm_solver=True``,
+        ``dpm_order`` in {1, 2}).
 
         ``y``: per-image conditioning of length n — class labels for a
         class-conditional UNet, low-res images for SuperResModel.
@@ -526,12 +538,37 @@ class DiffusionEngine:
                         "encoder_reuse>1 requires a UNet-family model "
                         "(the encoder cache is a UNet concept)"
                     )
-            if ddim:
+            if dpm_solver:
+                if ddim:
+                    raise ValueError("pass either ddim=True or dpm_solver="
+                                     "True, not both")
+                if reuse > 1 or any((
+                    reuse_exact_head or self.reuse_exact_head,
+                    reuse_exact_tail or self.reuse_exact_tail,
+                    reuse_sigma_boost or self.reuse_sigma_boost,
+                    reuse_prior_noise or self.reuse_prior_noise,
+                )):
+                    raise ValueError(
+                        "encoder_reuse / reuse calibration knobs are not "
+                        "supported on the DPM-Solver++ path (deterministic "
+                        "multistep solver); clear them or use the "
+                        "ancestral/DDIM samplers"
+                    )
+                fn = self._sample_jit(
+                    "dpmpp", clip=self.clip_while_generating,
+                    order=int(dpm_order),
+                )
+            elif ddim:
                 knobs = dict(
                     reuse_exact_head=reuse_exact_head or self.reuse_exact_head,
                     reuse_exact_tail=reuse_exact_tail or self.reuse_exact_tail,
                     reuse_sigma_boost=reuse_sigma_boost or self.reuse_sigma_boost,
                     reuse_prior_noise=reuse_prior_noise or self.reuse_prior_noise,
+                    reuse_cache_middle=(
+                        reuse_cache_middle
+                        if reuse_cache_middle is not None
+                        else self.reuse_cache_middle
+                    ),
                 )
                 active = {k: v for k, v in knobs.items() if v}
                 if active:
@@ -570,6 +607,10 @@ class DiffusionEngine:
                     static["reuse_prior_noise"] = float(
                         reuse_prior_noise if reuse_prior_noise is not None
                         else self.reuse_prior_noise
+                    )
+                    static["reuse_cache_middle"] = bool(
+                        reuse_cache_middle if reuse_cache_middle is not None
+                        else self.reuse_cache_middle
                     )
                 fn = self._sample_jit("p", **static)
             x = fn(params, tables, x_t, kloop, y_chunk, tmap)

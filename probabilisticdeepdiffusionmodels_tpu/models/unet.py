@@ -325,6 +325,7 @@ class UNetModel(nn.Module):
         return_features: bool = False,
         cache: Optional[Tuple[jax.Array, Tuple[jax.Array, ...]]] = None,
         return_cache: bool = False,
+        cache_middle: bool = False,
     ):
         """Forward pass; x is NHWC (reference forward: src/modules/unet.py:466-495).
 
@@ -341,6 +342,12 @@ class UNetModel(nn.Module):
             run.  The output then depends on the current input solely through
             the cached features — callers use this for adjacent timesteps
             where encoder features change slowly.
+          * ``cache_middle=True`` (pass on BOTH the producing and consuming
+            call): the cached ``h`` is the *post-middle* activation, so
+            consuming calls skip the middle block too and only the decoder
+            reruns ("Cache Me if You Can"-style deeper block caching).  A
+            strictly deeper approximation than encoder-only caching — the
+            middle block's fresh timestep embedding is lost on cached steps.
         """
         assert not (return_features and cache is not None), (
             "return_features needs the encoder to run; with cache= the "
@@ -394,12 +401,15 @@ class UNetModel(nn.Module):
                 h = run_entry(h, entry, "down", idx)
                 hs.append(h)
                 features["down"].append(h.astype(in_dtype))
-        new_cache = (h, tuple(hs)) if return_cache else None
+        new_cache = (h, tuple(hs)) if (return_cache and not cache_middle) else None
 
-        h = run_entry(h, [middle[0]], "mid", 0)
-        h = run_entry(h, [middle[1]], "mid", 1)
-        h = run_entry(h, [middle[2]], "mid", 2)
+        if not (cache is not None and cache_middle):
+            h = run_entry(h, [middle[0]], "mid", 0)
+            h = run_entry(h, [middle[1]], "mid", 1)
+            h = run_entry(h, [middle[2]], "mid", 2)
         features["middle"] = h.astype(in_dtype)
+        if return_cache and cache_middle:
+            new_cache = (h, tuple(hs))
 
         for idx, entry in enumerate(decoder):
             h = jnp.concatenate([h, hs.pop()], axis=-1)
@@ -455,7 +465,8 @@ class SuperResModel(nn.Module):
 
     @nn.compact
     def __call__(self, x, timesteps, low_res=None, y=None, *, train=False,
-                 return_features=False, cache=None, return_cache=False):
+                 return_features=False, cache=None, return_cache=False,
+                 cache_middle=False):
         assert low_res is not None, "SuperResModel requires low_res"
         upsampled = bilinear_resize(low_res, x.shape[1], x.shape[2])
         x = jnp.concatenate([x, upsampled.astype(x.dtype)], axis=-1)
@@ -480,4 +491,4 @@ class SuperResModel(nn.Module):
             dtype=self.dtype,
             name="unet",
         )(x, timesteps, y, train=train, return_features=return_features,
-          cache=cache, return_cache=return_cache)
+          cache=cache, return_cache=return_cache, cache_middle=cache_middle)

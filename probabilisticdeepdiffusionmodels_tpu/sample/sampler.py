@@ -39,6 +39,7 @@ from ..core.schedules import NoiseSchedule
 __all__ = [
     "p_sample_loop",
     "ddim_sample_loop",
+    "dpmpp_sample_loop",
     "space_timesteps",
     "respaced_schedule",
 ]
@@ -95,6 +96,7 @@ def p_sample_loop(
     reuse_exact_tail: int = 0,
     reuse_sigma_boost: float = 0.0,
     reuse_prior_noise: float = 0.0,
+    reuse_cache_middle: bool = False,
 ):
     """Ancestral sampling from t_start down to 1 in one lax.scan.
 
@@ -123,6 +125,12 @@ def p_sample_loop(
     cached (x-independent) eps-hat; calibrate on a trained model with
     scripts/sweep_reuse_quality.py.
 
+    ``reuse_cache_middle``: with encoder_reuse>1, cache the *post-middle*
+    activation instead of the encoder output, so cached steps skip the
+    middle block too and only the decoder reruns ("Cache Me if You Can"
+    block caching; a deeper approximation — the middle block's fresh
+    timestep embedding is lost on cached steps).
+
     Returns x_0, plus (if steps_to_return) the recorded intermediate steps
     [B, S, ...] in descending-t order, plus (if return_stds) the per-step
     std trace [t_start+1].
@@ -142,6 +150,7 @@ def p_sample_loop(
             exact_head=int(reuse_exact_head), exact_tail=int(reuse_exact_tail),
             sigma_boost=float(reuse_sigma_boost),
             prior_noise=float(reuse_prior_noise),
+            cache_middle=bool(reuse_cache_middle),
         )
 
     if steps_to_return is not None:
@@ -217,6 +226,7 @@ def _p_sample_loop_encoder_reuse(
     apply_fn, params, tables, x_t, key, k, T, *,
     sigma_mode, clip, mean_only, y, timestep_map,
     exact_head=0, exact_tail=0, sigma_boost=0.0, prior_noise=0.0,
+    cache_middle=False,
 ):
     """Ancestral sampling with the encoder run every k-th step only.
 
@@ -269,11 +279,13 @@ def _p_sample_loop_encoder_reuse(
     if head_n:
         x, _ = jax.lax.scan(exact_body, x, jnp.arange(T, T - head_n, -1))
 
+    mid_kw = {"cache_middle": True} if cache_middle else {}
+
     def seg_body(x, t0):
         t = jnp.full((b,), t0, dtype=jnp.int32)
         eps, v, cache = _model_eps(
             apply_fn, params, tables, x, t, y, timestep_map,
-            return_cache=True,
+            return_cache=True, **mid_kw,
         )
         x = _update(x, t0, eps, v)
         boost = float(np.sqrt(1.0 + sigma_boost))
@@ -282,7 +294,7 @@ def _p_sample_loop_encoder_reuse(
             t_vec = jnp.full((b,), t_j, dtype=jnp.int32)
             eps_j, v_j = _model_eps(
                 apply_fn, params, tables, x, t_vec, y, timestep_map,
-                cache=cache,
+                cache=cache, **mid_kw,
             )
             x = _update(x, t_j, eps_j, v_j, z_scale=boost)
             if prior_noise:
@@ -466,3 +478,90 @@ def ddim_sample_loop(
 
     x, _ = jax.lax.scan(seg_body, x, jnp.arange(T - head_n, 0, -k))
     return x
+
+
+def dpmpp_sample_loop(
+    apply_fn: Callable,
+    params,
+    tables: DiffusionTables,
+    x_t: jax.Array,
+    key: Optional[jax.Array] = None,
+    *,
+    t_start: Optional[int] = None,
+    clip: bool = False,
+    y: Optional[jax.Array] = None,
+    timestep_map: Optional[jax.Array] = None,
+    order: int = 2,
+) -> jax.Array:
+    """DPM-Solver++ deterministic sampling (Lu et al., arXiv:2211.01095),
+    data-prediction multistep form — one jitted lax.scan, like the other
+    loops (a fast-sampling capability beyond the reference, whose sampler
+    runs every step ancestrally, src/engine.py:385-403).
+
+    Parameterization: alpha_t = sqrt(abar_t), sigma_t = sqrt(1-abar_t),
+    half-log-SNR lambda_t = log(alpha_t/sigma_t).  Per step t -> t-1 with
+    h = lambda_{t-1} - lambda_t:
+
+        x_{t-1} = (sigma_{t-1}/sigma_t) x_t - alpha_{t-1} (e^{-h} - 1) D,
+
+    where D is the x0 prediction (order=1; the DPM-Solver++ first-order
+    step, identical to deterministic DDIM in this parameterization) or the
+    2M two-step extrapolation (order=2):
+
+        D = (1 + 1/(2r)) x0_t - 1/(2r) x0_prev,   r = h_prev / h.
+
+    The final step (t=1 -> 0, where sigma_0 = 0 and lambda diverges)
+    returns the plain x0 prediction — the standard "lower order final"
+    choice.  Combine with respaced_schedule for N-step fast sampling; the
+    ``key`` argument is accepted for endpoint-signature uniformity but
+    unused (the solver is deterministic).
+    """
+    assert order in (1, 2), "dpmpp_sample_loop implements orders 1 and 2"
+    T = t_start if t_start is not None else tables.diffusion_steps
+    b = x_t.shape[0]
+    ndim = x_t.ndim
+
+    abar = tables.alphas_hat
+    # lambda at the *target* of the t=1 step is +inf; every use below is
+    # guarded by the t==1 selection, so clamp for finiteness only
+    abar_prev_all = jnp.minimum(tables.alphas_hat_prev, 1.0 - 1e-12)
+
+    def lam_of(a):
+        return 0.5 * (jnp.log(a) - jnp.log1p(-a))
+
+    def body(carry, t_step):
+        x, x0_prev, h_prev, have_prev = carry
+        t = jnp.full((b,), t_step, dtype=jnp.int32)
+        eps, _ = _model_eps(apply_fn, params, tables, x, t, y, timestep_map)
+        x0 = D.xstart_from_epsilon(tables, x, t, eps, clip=clip)
+
+        a_t = D.expand_to(abar, t, ndim)
+        a_s = D.expand_to(abar_prev_all, t, ndim)  # abar at target t-1
+        lam_t, lam_s = lam_of(a_t), lam_of(a_s)
+        h = lam_s - lam_t
+
+        if order == 2:
+            safe_h_prev = jnp.where(have_prev, h_prev, 1.0)
+            c = jnp.where(have_prev, h / (2.0 * safe_h_prev), 0.0)
+            d_term = (1.0 + c) * x0 - c * x0_prev
+        else:
+            d_term = x0
+
+        sigma_t = jnp.sqrt(1.0 - a_t)
+        sigma_s = jnp.sqrt(1.0 - a_s)
+        alpha_s = jnp.sqrt(a_s)
+        x_next = (sigma_s / sigma_t) * x - alpha_s * jnp.expm1(-h) * d_term
+        # t=1 -> 0: sigma_0 = 0, the exact limit of the first-order step
+        x_next = jnp.where(t_step == 1, x0, x_next)
+        return (x_next, x0, h, jnp.bool_(True)), None
+
+    carry0 = (
+        x_t,
+        jnp.zeros_like(x_t),
+        jnp.zeros((b,) + (1,) * (ndim - 1), x_t.dtype),
+        jnp.bool_(False),
+    )
+    (x_final, _, _, _), _ = jax.lax.scan(
+        body, carry0, jnp.arange(T, 0, -1)
+    )
+    return x_final

@@ -61,19 +61,20 @@ def build(use_pallas_attention, steps=STEPS):
 
 
 def measure(apply_fn, params, tables, tmap, encoder_reuse, n_rep=3,
-            ddim=False):
+            ddim=False, cache_middle=False):
     from probabilisticdeepdiffusionmodels_tpu.sample import (
         ddim_sample_loop,
         p_sample_loop,
     )
 
     loop = ddim_sample_loop if ddim else p_sample_loop
+    extra = {} if ddim else {"reuse_cache_middle": cache_middle}
 
     @jax.jit
     def sample(params, x_T, key):
         return loop(
             apply_fn, params, tables, x_T, key, clip=True,
-            timestep_map=tmap, encoder_reuse=encoder_reuse,
+            timestep_map=tmap, encoder_reuse=encoder_reuse, **extra,
         )
 
     key = jax.random.PRNGKey(1)
@@ -101,6 +102,48 @@ def main():
                 name = ("ddim50" if ddim else "strided50") + f"_reuse{k}"
                 results[name] = measure(
                     apply_fn, params, tables, tmap, k, ddim=ddim
+                )
+                print(f"{name}: {results[name]} img/s", flush=True)
+    elif mode == "dpmpp":
+        # DPM-Solver++(2M) at shrinking step counts (throughput scales
+        # ~linearly in steps; the win is quality-at-few-steps)
+        from probabilisticdeepdiffusionmodels_tpu.sample import (
+            dpmpp_sample_loop,
+        )
+
+        for steps in (50, 25, 10):
+            apply_fn, params, tables, tmap = build(False, steps=steps)
+
+            @jax.jit
+            def sample(params, x_T):
+                return dpmpp_sample_loop(
+                    apply_fn, params, tables, x_T, clip=True,
+                    timestep_map=tmap, order=2,
+                )
+
+            key = jax.random.PRNGKey(1)
+            x_T = jax.random.normal(key, (BATCH, 32, 32, 3), jnp.float32)
+            w = sample(params, x_T)
+            assert np.isfinite(float(jnp.sum(w)))
+            t0 = time.perf_counter()
+            for i in range(3):
+                out = sample(params, jax.random.normal(
+                    jax.random.fold_in(key, i), x_T.shape, x_T.dtype))
+                out.block_until_ready()
+            dt = (time.perf_counter() - t0) / 3
+            results[f"dpmpp{steps}"] = round(BATCH / dt, 2)
+            print(f"dpmpp{steps}: {results[f'dpmpp{steps}']} img/s",
+                  flush=True)
+    elif mode == "midcache":
+        # middle-block caching on top of encoder reuse (VERDICT r2 next #3:
+        # record the measurement): cached steps skip encoder AND middle,
+        # only the decoder reruns
+        apply_fn, params, tables, tmap = build(False)
+        for k in (2, 3):
+            for mid in (False, True):
+                name = f"reuse{k}" + ("_midcache" if mid else "")
+                results[name] = measure(
+                    apply_fn, params, tables, tmap, k, cache_middle=mid
                 )
                 print(f"{name}: {results[name]} img/s", flush=True)
     else:

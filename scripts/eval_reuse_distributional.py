@@ -52,6 +52,31 @@ CONFIG_SETS = {
         ("ddim_50_eta1", dict(ddim=True, ddim_eta=1.0, num_sample_steps=50)),
         ("ddim_50_k3", dict(ddim=True, num_sample_steps=50, encoder_reuse=3)),
     ],
+    # round-3 additions: DPM-Solver++(2M) at shrinking step counts (higher
+    # order should degrade slower than DDIM), and middle-block caching
+    # quality at the bench configuration
+    "r3": [
+        ("exact", dict(encoder_reuse=1)),
+        ("ddim_50", dict(ddim=True, num_sample_steps=50)),
+        ("ddim_25", dict(ddim=True, num_sample_steps=25)),
+        ("ddim_10", dict(ddim=True, num_sample_steps=10)),
+        ("dpmpp_50", dict(dpm_solver=True, num_sample_steps=50)),
+        ("dpmpp_25", dict(dpm_solver=True, num_sample_steps=25)),
+        ("dpmpp_10", dict(dpm_solver=True, num_sample_steps=10)),
+        ("k3_250", dict(encoder_reuse=3, num_sample_steps=250)),
+        ("k3_250_midcache", dict(encoder_reuse=3, num_sample_steps=250,
+                                 reuse_cache_middle=True)),
+    ],
+    # probability-flow-ODE convergence check: full-T DDIM (eta=0) and
+    # DPM++(2M) discretize the SAME ODE — at T=1000 both must land at its
+    # limit, which anchors whether dpmpp's few-step numbers are the
+    # solver's fault or the ODE's
+    "odecheck": [
+        ("ddim_full", dict(ddim=True)),
+        ("dpmpp_full", dict(dpm_solver=True)),
+        ("ddim_100", dict(ddim=True, num_sample_steps=100)),
+        ("dpmpp_100", dict(dpm_solver=True, num_sample_steps=100)),
+    ],
 }
 
 

@@ -215,6 +215,91 @@ def test_ddim_encoder_reuse(small_unet):
         assert not np.array_equal(np.asarray(out), np.asarray(exact))
 
 
+def test_cache_middle_roundtrip_exact(small_unet):
+    """Middle-block caching ("Cache Me if You Can"-style deeper caching):
+    decoding from a cache_middle cache of the same (x, t) reproduces the
+    full forward bit-for-bit (the decoder sees identical inputs)."""
+    model, params, apply_fn = small_unet
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 8, 8, 3), jnp.float32)
+    t = jnp.full((2,), 5, jnp.int32)
+    full, cache = apply_fn(
+        params, x, t, return_cache=True, cache_middle=True
+    )
+    cached = apply_fn(params, x, t, cache=cache, cache_middle=True)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(cached))
+
+
+def test_cache_middle_skips_middle_block(small_unet):
+    """With cache_middle the cached h is post-middle: consuming at a new t
+    still moves the output (decoder emb is fresh) but differs from the
+    encoder-only cache at the same t (whose middle block reruns with the
+    fresh emb)."""
+    model, params, apply_fn = small_unet
+    x = jax.random.normal(jax.random.PRNGKey(12), (2, 8, 8, 3), jnp.float32)
+    t5 = jnp.full((2,), 5, jnp.int32)
+    t4 = jnp.full((2,), 4, jnp.int32)
+    _, cache_enc = apply_fn(params, x, t5, return_cache=True)
+    _, cache_mid = apply_fn(
+        params, x, t5, return_cache=True, cache_middle=True
+    )
+    a = apply_fn(params, x, t4, cache=cache_enc)
+    b = apply_fn(params, x, t4, cache=cache_mid, cache_middle=True)
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+    c = apply_fn(params, x, t5, cache=cache_mid, cache_middle=True)
+    assert not np.array_equal(np.asarray(b), np.asarray(c))
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_reuse_cache_middle_runs_and_approximates(small_unet, k):
+    model, params, apply_fn = small_unet
+    sched = NoiseSchedule.create(diffusion_steps=10, mode="cosine")
+    tables = DiffusionTables.from_schedule(sched)
+    key = jax.random.PRNGKey(13)
+    x_T = jax.random.normal(key, (2, 8, 8, 3), jnp.float32)
+    exact = p_sample_loop(apply_fn, params, tables, x_T, key, clip=True)
+    out = jax.jit(
+        lambda p, xt, kk: p_sample_loop(
+            apply_fn, p, tables, xt, kk, clip=True, encoder_reuse=k,
+            reuse_cache_middle=True,
+        )
+    )(params, x_T, key)
+    assert out.shape == exact.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert not np.array_equal(np.asarray(out), np.asarray(exact))
+    # deeper caching than encoder-only reuse: also differs from it
+    enc_only = p_sample_loop(
+        apply_fn, params, tables, x_T, key, clip=True, encoder_reuse=k
+    )
+    assert not np.array_equal(np.asarray(out), np.asarray(enc_only))
+
+
+def test_engine_endpoint_accepts_cache_middle():
+    from probabilisticdeepdiffusionmodels_tpu.engine import DiffusionEngine
+
+    eng = DiffusionEngine(
+        model_config=dict(
+            name="unet",
+            in_channels=1,
+            model_channels=32,
+            num_res_blocks=1,
+            attention_resolutions=[],
+            channel_mult=[1],
+            num_heads=1,
+        ),
+        optimizer_config=dict(lr=1e-4),
+        diffusion_steps=6,
+        mode="cosine",
+        resolution=8,
+        encoder_reuse=2,
+        reuse_cache_middle=True,
+    )
+    imgs = eng.generate_images(n=2, minibatch=2, seed=0)
+    assert imgs.shape == (2, 8, 8, 1) and np.isfinite(imgs).all()
+    # the DDIM path rejects the ancestral-only knob instead of ignoring it
+    with pytest.raises(ValueError):
+        eng.generate_images(n=2, minibatch=2, seed=0, ddim=True)
+
+
 def test_engine_ddim_encoder_reuse_endpoint():
     from probabilisticdeepdiffusionmodels_tpu.engine import DiffusionEngine
 
