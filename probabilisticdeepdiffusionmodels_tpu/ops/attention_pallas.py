@@ -30,22 +30,36 @@ def _attn_kernel(qkv_ref, out_ref, *, ch: int, scale: float):
     q = qkv[:, :ch]
     k = qkv[:, ch : 2 * ch]
     v = qkv[:, 2 * ch :]
-    qs = (q * scale).astype(jnp.float32)
-    ks = (k * scale).astype(jnp.float32)
+    in_dtype = qkv.dtype
+    if in_dtype == jnp.float32:
+        # f32 inputs: HIGHEST pins true f32 MXU passes (parity with the
+        # XLA path, which also pins HIGHEST for f32 — ops/attention.py)
+        mm_kw = dict(
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        qs = (q * scale).astype(jnp.float32)
+        ks = (k * scale).astype(jnp.float32)
+        v_in = v.astype(jnp.float32)
+    else:
+        # bf16 inputs: native single-pass bf16 MXU matmul with f32
+        # accumulation — same numerics as the XLA bf16 einsum path.
+        # (Earlier Mosaic builds rejected bf16 matmul operands, forcing
+        # f32 compute and losing to XLA end-to-end; re-measured when the
+        # toolchain lifted that — scripts/probe_mosaic_bf16.py.)
+        mm_kw = dict(preferred_element_type=jnp.float32)
+        qs = q * scale
+        ks = k * scale
+        v_in = v
     scores = jax.lax.dot_general(
-        qs, ks, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        qs, ks, dimension_numbers=(((1,), (1,)), ((), ())), **mm_kw
     )
-    w = jax.nn.softmax(scores, axis=-1)
-    # keep the second matmul in f32 too: this Mosaic build rejects bf16 lhs
-    # ("Bad lhs type" on vector<...xbf16> tpu.matmul), and f32 accumulate
-    # matches the XLA path's softmax@v numerics
+    w = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
     out = jax.lax.dot_general(
-        w, v.astype(jnp.float32),
+        w.astype(in_dtype) if in_dtype != jnp.float32 else w,
+        v_in,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        **mm_kw,
     )
     out_ref[0, 0] = out.astype(out_ref.dtype)
 

@@ -27,6 +27,21 @@ def test_pallas_attention_matches_xla(num_heads):
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("num_heads", [1, 4])
+def test_pallas_attention_matches_xla_bf16(num_heads):
+    """bf16 kernel path (native bf16 MXU matmuls, f32 accumulate/softmax)
+    matches the XLA bf16 einsum path to bf16 tolerance."""
+    rng = np.random.RandomState(1)
+    qkv = jnp.asarray(
+        rng.randn(2, 64, 3 * 128).astype(np.float32), jnp.bfloat16
+    )
+    ref = np.asarray(qkv_attention_xla(qkv, num_heads), np.float32)
+    out = np.asarray(
+        qkv_attention_pallas(qkv, num_heads, interpret=True), np.float32
+    )
+    np.testing.assert_allclose(out, ref, rtol=0.05, atol=0.05)
+
+
 def test_pallas_groupnorm_silu_matches_xla():
     rng = np.random.RandomState(0)
     x = rng.randn(2, 8, 8, 64).astype(np.float32)
