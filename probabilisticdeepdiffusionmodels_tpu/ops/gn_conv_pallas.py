@@ -130,18 +130,31 @@ def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, out_ref, *, nb, h, wd,
     out_ref[...] = acc.reshape(nb, h, wd, cout).astype(out_ref.dtype)
 
 
+def _block_bytes(nb, h, wd, cin, cout, itemsize):
+    """Scoped-VMEM estimate for one grid step: double-buffered in/out
+    blocks (Mosaic pipelines the grid), the zero-padded copy, the f32
+    affine+SiLU temp, and the f32 accumulator.  Undercounting here is a
+    compile-time scoped-vmem OOM on real TPU (seen at bf16: the old
+    x+pad-only model picked nb=4 at the 16x16x512->256 site => 17.6M >
+    the 16M scoped limit), so every live temp is counted."""
+    in_blk = nb * h * wd * cin * itemsize
+    pad = nb * (h + 2) * (wd + 2) * cin * itemsize
+    y32 = nb * h * wd * cin * 4
+    out_blk = nb * h * wd * cout * itemsize
+    acc = nb * h * wd * cout * 4
+    return 2 * in_blk + pad + y32 + 2 * out_blk + acc
+
+
 def _pick_nb(batch, h, wd, cin, cout, itemsize):
     """Samples per block: enough rows to feed the MXU, bounded by VMEM."""
+    weights = 9 * cin * cout * itemsize
     nb = 1
     while (
         nb < batch
         and batch % (nb * 2) == 0
         and nb * 2 * h * wd <= 4096
-        and (
-            nb * 2 * ((h + 2) * (wd + 2) + h * wd) * cin * itemsize  # x + pad
-            + nb * 2 * h * wd * cout * (4 + itemsize)                # acc+out
-        )
-        < _VMEM_BUDGET - 9 * cin * cout * itemsize
+        and _block_bytes(nb * 2, h, wd, cin, cout, itemsize)
+        < _VMEM_BUDGET - weights
     ):
         nb *= 2
     return nb
@@ -150,20 +163,17 @@ def _pick_nb(batch, h, wd, cin, cout, itemsize):
 def fits_pallas(x_shape, cout, itemsize):
     """Dispatch gate: VMEM fit + Mosaic tiling constraints.
 
-    Whole-image blocks must fit VMEM (one sample, padded + output), and the
-    channel dims must be multiples of the 128-wide vector lane so the
-    (..., C) blocks tile without Mosaic relayouts — small-channel models
-    (e.g. 32ch test UNets) fall back to XLA instead of risking a Mosaic
-    compile failure on real TPU (ADVICE r2).
+    Whole-image blocks must fit VMEM (one sample, padded + output, all
+    pipeline/temp buffers counted — _block_bytes), and the channel dims
+    must be multiples of the 128-wide vector lane so the (..., C) blocks
+    tile without Mosaic relayouts — small-channel models (e.g. 32ch test
+    UNets) fall back to XLA instead of risking a Mosaic compile failure
+    on real TPU (ADVICE r2).
     """
     b, h, wd, cin = x_shape
     if cin % 128 or cout % 128:
         return False
-    need = (
-        ((h + 2) * (wd + 2) + h * wd) * cin * itemsize
-        + h * wd * cout * (4 + itemsize)
-        + 9 * cin * cout * itemsize
-    )
+    need = _block_bytes(1, h, wd, cin, cout, itemsize) + 9 * cin * cout * itemsize
     return need < _VMEM_BUDGET
 
 

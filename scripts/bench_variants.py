@@ -23,7 +23,7 @@ STEPS = 250
 BATCH = 128
 
 
-def build(use_pallas_attention, steps=STEPS):
+def build(use_pallas_attention, steps=STEPS, use_pallas_conv=False):
     from probabilisticdeepdiffusionmodels_tpu.core import (
         DiffusionTables,
         NoiseSchedule,
@@ -46,6 +46,7 @@ def build(use_pallas_attention, steps=STEPS):
             num_heads=4,
             compute_dtype="bfloat16",
             use_pallas_attention=use_pallas_attention,
+            use_pallas_conv=use_pallas_conv,
         ),
     )
     x = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
@@ -134,6 +135,16 @@ def main():
             results[f"dpmpp{steps}"] = round(BATCH / dt, 2)
             print(f"dpmpp{steps}: {results[f'dpmpp{steps}']} img/s",
                   flush=True)
+    elif mode == "convs":
+        # GN+SiLU+conv3x3 fused kernel re-measure (bf16 Mosaic matmul now
+        # accepted — the kernel's 9-tap matmuls run at the operand dtype)
+        for use_conv in (False, True):
+            apply_fn, params, tables, tmap = build(
+                False, use_pallas_conv=use_conv
+            )
+            name = "pallas_conv" if use_conv else "xla"
+            results[name] = measure(apply_fn, params, tables, tmap, 1)
+            print(f"{name}: {results[name]} img/s", flush=True)
     elif mode == "midcache":
         # middle-block caching on top of encoder reuse (VERDICT r2 next #3:
         # record the measurement): cached steps skip encoder AND middle,
