@@ -116,7 +116,8 @@ def run_sampling(cfg) -> None:
         vis(engine, -1)
         print(f"[sample] regular viz written to {media_dir}")
 
-    if cfg.get("num_sample_steps") or cfg.get("sampler") in ("ddim", "dpmpp"):
+    if (cfg.get("num_sample_steps") or cfg.get("sampler") in ("ddim", "dpmpp")
+            or cfg.get("guidance_scale") is not None):
         # fast-sampler generation grid (strided/DDIM, BASELINE config #3;
         # sampler=dpmpp selects DPM-Solver++(2M))
         import matplotlib
@@ -124,17 +125,29 @@ def run_sampling(cfg) -> None:
         import matplotlib.pyplot as plt
 
         n = int(cfg.get("n_random", 4))
+        gen_kwargs = {}
+        gs = cfg.get("guidance_scale")
+        if gs is not None:
+            # classifier-free guidance grid: one sample per class, cycling
+            nc = int(getattr(engine.model, "num_classes", 0) or 0)
+            assert nc, "guidance_scale needs a class-conditional model"
+            gen_kwargs = dict(
+                guidance_scale=float(gs), y=np.arange(n) % nc
+            )
         imgs = engine.generate_images(
             n=n, minibatch=n, seed=0, use_ema=cfg.get("use_ema", True),
             num_sample_steps=cfg.get("num_sample_steps"),
             ddim=cfg.get("sampler") == "ddim",
             dpm_solver=cfg.get("sampler") == "dpmpp",
             dpm_order=int(cfg.get("dpm_order", 2)),
+            **gen_kwargs,
         )
         fig, axes = plt.subplots(1, n, figsize=(2 * n, 2.2))
         for i in range(n):
             _grid(np.atleast_1d(axes)[i], _to_img(imgs[i], normalize))
         tagname = f"fast_{cfg.get('sampler','ancestral')}_{cfg.get('num_sample_steps') or 'full'}"
+        if gs is not None:
+            tagname += f"_cfg{float(gs):g}"
         path = media_dir / f"{tagname}.png"
         fig.savefig(path, bbox_inches="tight", dpi=120)
         plt.close(fig)

@@ -35,6 +35,7 @@ from .parallel.mesh import data_sharding, replicated, shard_batch, spatial_shard
 from .sample.sampler import (
     ddim_sample_loop,
     dpmpp_sample_loop,
+    make_cfg_apply_fn,
     p_sample_loop,
     respaced_schedule,
     space_timesteps,
@@ -145,6 +146,7 @@ class DiffusionEngine:
         in_channels: Optional[int] = None,
         steps_per_epoch: Optional[int] = None,
         watch: bool = False,
+        class_dropout_prob: float = 0.0,
         encoder_reuse: int = 1,
         reuse_exact_head: int = 0,
         reuse_exact_tail: int = 0,
@@ -171,6 +173,7 @@ class DiffusionEngine:
             loss_type=loss_type,
             grad_clip=grad_clip,
             accumulate_grad_batches=accumulate_grad_batches,
+            class_dropout_prob=class_dropout_prob,
             encoder_reuse=encoder_reuse,
             reuse_exact_head=reuse_exact_head,
             reuse_exact_tail=reuse_exact_tail,
@@ -287,6 +290,16 @@ class DiffusionEngine:
                 {"params": params}, x, t, y, **kw
             )
         self._sample_jits: Dict[Any, Any] = {}
+        self.class_dropout_prob = float(class_dropout_prob or 0.0)
+        if self.class_dropout_prob:
+            if self.cond_kind != "class" or not getattr(
+                self.model, "cfg_null_class", False
+            ):
+                raise ValueError(
+                    "class_dropout_prob requires a class-conditional model "
+                    "with model_config cfg_null_class=True (the reserved "
+                    "null embedding row)"
+                )
         dropout = float(dict(model_config).get("dropout", 0) or 0) > 0
         self._train_step = jax.jit(
             make_train_step(
@@ -296,6 +309,10 @@ class DiffusionEngine:
                 loss_type=loss_type,
                 dropout=dropout,
                 watch=watch,
+                class_dropout_prob=self.class_dropout_prob,
+                null_class=(
+                    self.model.num_classes if self.class_dropout_prob else None
+                ),
             ),
             donate_argnums=(0,),
         )
@@ -405,7 +422,7 @@ class DiffusionEngine:
             len(kept),
         )
 
-    def _sample_jit(self, loop_name: str, **static_kw):
+    def _sample_jit(self, loop_name: str, cfg_scale=None, **static_kw):
         """Cached jit over a sampling loop, keyed by the static flags.
 
         The reference's sampling endpoints re-trace on every call (and the
@@ -414,8 +431,12 @@ class DiffusionEngine:
         handles minibatch/shape variation, so the 10k-sample FID path pays
         one trace.  Arrays that vary per call (params, tables, x_t, key, y,
         timestep_map) are traced arguments, never closed over.
+
+        ``cfg_scale``: classifier-free guidance scale; wraps the model call
+        in ``make_cfg_apply_fn`` (doubled-batch conditional+null forward),
+        leaving every loop unchanged.
         """
-        cache_key = (loop_name, tuple(sorted(static_kw.items())))
+        cache_key = (loop_name, cfg_scale, tuple(sorted(static_kw.items())))
         fn = self._sample_jits.get(cache_key)
         if fn is None:
             loop = {
@@ -424,6 +445,10 @@ class DiffusionEngine:
                 "dpmpp": dpmpp_sample_loop,
             }[loop_name]
             apply_fn = self._apply
+            if cfg_scale is not None:
+                apply_fn = make_cfg_apply_fn(
+                    apply_fn, float(cfg_scale), self.model.num_classes
+                )
 
             def run(params, tables, x_t, key, y, timestep_map):
                 return loop(
@@ -469,7 +494,7 @@ class DiffusionEngine:
         self, n=1, minibatch=4, mean_only=False, seed=None, use_ema=True,
         num_sample_steps=None, ddim=False, ddim_eta=0.0,
         dpm_solver=False, dpm_order=2, shard_mode="batch",
-        y=None, encoder_reuse=None, x_T=None,
+        y=None, guidance_scale=None, encoder_reuse=None, x_T=None,
         reuse_exact_head=None, reuse_exact_tail=None,
         reuse_sigma_boost=None, reuse_prior_noise=None,
         reuse_cache_middle=None,
@@ -481,12 +506,29 @@ class DiffusionEngine:
 
         ``y``: per-image conditioning of length n — class labels for a
         class-conditional UNet, low-res images for SuperResModel.
+        ``guidance_scale``: classifier-free guidance strength s (Ho &
+        Salimans, arXiv:2207.12598) — eps = eps_null + s*(eps_y - eps_null)
+        via one doubled-batch forward per step; needs a class-conditional
+        model built with ``cfg_null_class=True`` (and trained with
+        ``class_dropout_prob``>0), labels in ``y``, and roughly doubles the
+        per-step cost.  s=1 is plain conditional sampling.  Composes with
+        DDIM / DPM-Solver++ / encoder_reuse.
         ``encoder_reuse``: override the engine-level encoder-reuse interval
         for this call (k>1 approximate, k=1 exact).
         ``x_T``: optional [n, ...] starting noise; when given, it replaces
         the seed-drawn x_T (the per-step z stream still comes from seed), so
         callers can replay or perturb a specific chain."""
         tables, tmap, _ = self._sample_tables(num_sample_steps)
+        if guidance_scale is not None:
+            if self.cond_kind != "class" or not getattr(
+                self.model, "cfg_null_class", False
+            ):
+                raise ValueError(
+                    "guidance_scale requires a class-conditional model with "
+                    "cfg_null_class=True (train it with class_dropout_prob)"
+                )
+            if y is None:
+                raise ValueError("guidance_scale requires class labels y")
         if y is not None:
             y = jnp.asarray(y)
             assert y.shape[0] >= n, "need conditioning for every image"
@@ -555,7 +597,8 @@ class DiffusionEngine:
                         "ancestral/DDIM samplers"
                     )
                 fn = self._sample_jit(
-                    "dpmpp", clip=self.clip_while_generating,
+                    "dpmpp", cfg_scale=guidance_scale,
+                    clip=self.clip_while_generating,
                     order=int(dpm_order),
                 )
             elif ddim:
@@ -582,7 +625,8 @@ class DiffusionEngine:
                         "sampler or clear them"
                     )
                 fn = self._sample_jit(
-                    "ddim", eta=ddim_eta, clip=self.clip_while_generating,
+                    "ddim", cfg_scale=guidance_scale, eta=ddim_eta,
+                    clip=self.clip_while_generating,
                     encoder_reuse=reuse,
                 )
             else:
@@ -612,7 +656,7 @@ class DiffusionEngine:
                         reuse_cache_middle if reuse_cache_middle is not None
                         else self.reuse_cache_middle
                     )
-                fn = self._sample_jit("p", **static)
+                fn = self._sample_jit("p", cfg_scale=guidance_scale, **static)
             x = fn(params, tables, x_t, kloop, y_chunk, tmap)
             images.append(np.asarray(x))
         return np.concatenate(images, axis=0)[:n]

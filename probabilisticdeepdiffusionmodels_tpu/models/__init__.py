@@ -52,6 +52,7 @@ def get_unet(
     conv_resample: bool = True,
     dims: int = 2,
     num_classes=None,
+    cfg_null_class: bool = False,
     use_checkpoint: bool = False,
     num_heads: int = 1,
     num_heads_upsample: int = -1,
@@ -66,6 +67,9 @@ def get_unet(
 ):
     if dims not in (1, 2, 3):
         raise ValueError(f"dims must be 1, 2 or 3, got {dims}")
+    if cfg_null_class and not num_classes:
+        raise ValueError("cfg_null_class requires num_classes (the null "
+                         "token is the extra row of the label embedding)")
     if dims != 2 and _cls is SuperResModel:
         raise NotImplementedError("SuperResModel is 2-D (bilinear low_res)")
     attention_ds = tuple(resolution // int(res) for res in attention_resolutions)
@@ -80,6 +84,7 @@ def get_unet(
         channel_mult=tuple(channel_mult),
         conv_resample=conv_resample,
         num_classes=num_classes,
+        cfg_null_class=cfg_null_class,
         use_checkpoint=use_checkpoint,
         num_heads=num_heads,
         num_heads_upsample=num_heads_upsample,

@@ -239,6 +239,12 @@ class UNetModel(nn.Module):
     channel_mult: Tuple[int, ...] = (1, 2, 4, 8)
     conv_resample: bool = True
     num_classes: Optional[int] = None
+    # classifier-free guidance (Ho & Salimans, arXiv:2207.12598; beyond the
+    # reference): reserve one extra embedding row as the "null" class
+    # (index == num_classes).  Train with train.step class_dropout_prob>0
+    # so the model learns the unconditional marginal on that row, then
+    # sample with sample.make_cfg_apply_fn / engine guidance_scale.
+    cfg_null_class: bool = False
     use_checkpoint: bool = False
     num_heads: int = 1
     num_heads_upsample: int = -1
@@ -259,7 +265,7 @@ class UNetModel(nn.Module):
             assert y is not None, "class-conditional model requires y"
             # torch nn.Embedding default init: N(0, 1)
             label_emb = nn.Embed(
-                self.num_classes,
+                self.num_classes + (1 if self.cfg_null_class else 0),
                 time_embed_dim,
                 embedding_init=nn.initializers.normal(stddev=1.0),
                 param_dtype=jnp.float32,
@@ -453,6 +459,7 @@ class SuperResModel(nn.Module):
     channel_mult: Tuple[int, ...] = (1, 2, 4, 8)
     conv_resample: bool = True
     num_classes: Optional[int] = None
+    cfg_null_class: bool = False
     use_checkpoint: bool = False
     num_heads: int = 1
     num_heads_upsample: int = -1
@@ -480,6 +487,7 @@ class SuperResModel(nn.Module):
             channel_mult=self.channel_mult,
             conv_resample=self.conv_resample,
             num_classes=self.num_classes,
+            cfg_null_class=self.cfg_null_class,
             use_checkpoint=self.use_checkpoint,
             num_heads=self.num_heads,
             num_heads_upsample=self.num_heads_upsample,

@@ -1,6 +1,7 @@
 from .sampler import (
     ddim_sample_loop,
     dpmpp_sample_loop,
+    make_cfg_apply_fn,
     p_sample_loop,
     respaced_schedule,
     space_timesteps,

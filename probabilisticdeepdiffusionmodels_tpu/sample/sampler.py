@@ -40,9 +40,54 @@ __all__ = [
     "p_sample_loop",
     "ddim_sample_loop",
     "dpmpp_sample_loop",
+    "make_cfg_apply_fn",
     "space_timesteps",
     "respaced_schedule",
 ]
+
+
+def make_cfg_apply_fn(apply_fn, guidance_scale: float, null_class: int):
+    """Classifier-free guidance wrapper (Ho & Salimans, arXiv:2207.12598).
+
+    Returns an ``apply_fn`` with the same ``(params, x, t, y, **kw)``
+    signature whose eps output is ``eps_u + s*(eps_c - eps_u)`` — so every
+    sampling loop (ancestral / DDIM / DPM-Solver++) gets guidance without
+    knowing about it.  TPU-shaped: ONE doubled-batch model call ([x;x] with
+    [y;null]) instead of two half-filled ones, keeping the MXU matmuls
+    large; the null half uses the reserved ``cfg_null_class`` embedding row
+    the model trained on under ``class_dropout_prob``.
+
+    ``s=1`` reduces to conditional sampling, ``s=0`` to unconditional.
+    With a learned-sigma head (out channels == 2*C) only eps is guided; the
+    variance interpolation ``v`` is taken from the conditional half (the
+    IDDPM-guidance convention).  Composes with the encoder cache: the
+    cache produced/consumed through this wrapper is doubled-batch, and the
+    cached null-half features stay null-conditioned.
+    """
+    s = float(guidance_scale)
+
+    def cfg_apply(params, x, t, y, **kwargs):
+        assert y is not None, "guidance requires class labels"
+        b = x.shape[0]
+        xx = jnp.concatenate([x, x], axis=0)
+        tt = jnp.concatenate([t, t], axis=0)
+        yy = jnp.concatenate([y, jnp.full_like(y, null_class)], axis=0)
+        out = apply_fn(params, xx, tt, yy, **kwargs)
+        cache = None
+        if kwargs.get("return_cache"):
+            out, cache = out
+        c = x.shape[-1]
+        if out.shape[-1] == 2 * c:
+            eps2, v2 = jnp.split(out, 2, axis=-1)
+            eps = eps2[b:] + s * (eps2[:b] - eps2[b:])
+            out = jnp.concatenate([eps, v2[:b]], axis=-1)
+        else:
+            out = out[b:] + s * (out[:b] - out[b:])
+        if kwargs.get("return_cache"):
+            return out, cache
+        return out
+
+    return cfg_apply
 
 
 def _model_eps(apply_fn, params, tables, x, t, y, timestep_map=None,

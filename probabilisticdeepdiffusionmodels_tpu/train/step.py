@@ -81,20 +81,38 @@ def make_train_step(
     vlb_weight: float = 1e-3,
     dropout: bool = False,
     watch: bool = False,
+    class_dropout_prob: float = 0.0,
+    null_class: int = None,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the pure train step: (state, x0 [, y]) -> (state, metrics).
 
     jit/pjit this once; under a Mesh with the batch sharded over 'data' the
     XLA SPMD partitioner inserts the gradient all-reduce over ICI.
+
+    ``class_dropout_prob`` p > 0 enables classifier-free-guidance training
+    (Ho & Salimans, arXiv:2207.12598): each label is independently replaced
+    by ``null_class`` (the model's reserved ``cfg_null_class`` embedding
+    row) with probability p, so one model learns both the conditional and
+    the unconditional score.  Requires labels every step.
     """
     T = tables.diffusion_steps
     if sampling not in ("uniform", "importance"):
         raise ValueError(f'Unknown sampling option: "{sampling}"')
+    if class_dropout_prob and null_class is None:
+        raise ValueError("class_dropout_prob needs null_class (the index "
+                         "of the model's cfg_null_class embedding row)")
 
     def step(state: TrainState, x0: jax.Array, y=None):
         rng = jax.random.fold_in(state.rng, state.step)
         key_t, key_noise, key_drop = jax.random.split(rng, 3)
         b = x0.shape[0]
+
+        if class_dropout_prob:
+            # split off the CFG stream from key_drop so the t/noise streams
+            # (and therefore all non-CFG runs) stay bitwise unchanged
+            key_drop, key_cfg = jax.random.split(key_drop)
+            drop = jax.random.bernoulli(key_cfg, class_dropout_prob, (b,))
+            y = jnp.where(drop, jnp.full_like(y, null_class), y)
 
         if sampling == "importance":
             t, weights = sample_importance(key_t, b, state.loss_history, min_counts)
