@@ -134,6 +134,14 @@ def run_sampling(cfg) -> None:
             gen_kwargs = dict(
                 guidance_scale=float(gs), y=np.arange(n) % nc
             )
+            gi = cfg.get("guidance_interval")
+            if gi is not None:
+                # "lo,hi" string (dotted CLI override) or a 2-seq
+                lo, hi = (
+                    (int(v) for v in gi.split(","))
+                    if isinstance(gi, str) else gi
+                )
+                gen_kwargs["guidance_interval"] = (int(lo), int(hi))
         imgs = engine.generate_images(
             n=n, minibatch=n, seed=0, use_ema=cfg.get("use_ema", True),
             num_sample_steps=cfg.get("num_sample_steps"),

@@ -422,7 +422,8 @@ class DiffusionEngine:
             len(kept),
         )
 
-    def _sample_jit(self, loop_name: str, cfg_scale=None, **static_kw):
+    def _sample_jit(self, loop_name: str, cfg_scale=None, cfg_interval=None,
+                    **static_kw):
         """Cached jit over a sampling loop, keyed by the static flags.
 
         The reference's sampling endpoints re-trace on every call (and the
@@ -434,9 +435,11 @@ class DiffusionEngine:
 
         ``cfg_scale``: classifier-free guidance scale; wraps the model call
         in ``make_cfg_apply_fn`` (doubled-batch conditional+null forward),
-        leaving every loop unchanged.
+        leaving every loop unchanged.  ``cfg_interval``: (lo, hi) guidance
+        window in original timestep units (arXiv:2404.07724).
         """
-        cache_key = (loop_name, cfg_scale, tuple(sorted(static_kw.items())))
+        cache_key = (loop_name, cfg_scale, cfg_interval,
+                     tuple(sorted(static_kw.items())))
         fn = self._sample_jits.get(cache_key)
         if fn is None:
             loop = {
@@ -447,7 +450,8 @@ class DiffusionEngine:
             apply_fn = self._apply
             if cfg_scale is not None:
                 apply_fn = make_cfg_apply_fn(
-                    apply_fn, float(cfg_scale), self.model.num_classes
+                    apply_fn, float(cfg_scale), self.model.num_classes,
+                    interval=cfg_interval,
                 )
 
             def run(params, tables, x_t, key, y, timestep_map):
@@ -494,7 +498,8 @@ class DiffusionEngine:
         self, n=1, minibatch=4, mean_only=False, seed=None, use_ema=True,
         num_sample_steps=None, ddim=False, ddim_eta=0.0,
         dpm_solver=False, dpm_order=2, shard_mode="batch",
-        y=None, guidance_scale=None, encoder_reuse=None, x_T=None,
+        y=None, guidance_scale=None, guidance_interval=None,
+        encoder_reuse=None, x_T=None,
         reuse_exact_head=None, reuse_exact_tail=None,
         reuse_sigma_boost=None, reuse_prior_noise=None,
         reuse_cache_middle=None,
@@ -513,6 +518,10 @@ class DiffusionEngine:
         ``class_dropout_prob``>0), labels in ``y``, and roughly doubles the
         per-step cost.  s=1 is plain conditional sampling.  Composes with
         DDIM / DPM-Solver++ / encoder_reuse.
+        ``guidance_interval``: (lo, hi) in original timestep units — apply
+        guidance only when lo <= t <= hi (arXiv:2404.07724); other steps
+        run one plain conditional forward (saves the doubled-batch cost).
+        Not composable with encoder_reuse.
         ``encoder_reuse``: override the engine-level encoder-reuse interval
         for this call (k>1 approximate, k=1 exact).
         ``x_T``: optional [n, ...] starting noise; when given, it replaces
@@ -529,6 +538,17 @@ class DiffusionEngine:
                 )
             if y is None:
                 raise ValueError("guidance_scale requires class labels y")
+        if guidance_interval is not None:
+            if guidance_scale is None:
+                raise ValueError("guidance_interval needs guidance_scale")
+            lo, hi = guidance_interval
+            guidance_interval = (int(lo), int(hi))
+            if (encoder_reuse or self.encoder_reuse) > 1:
+                raise ValueError(
+                    "guidance_interval does not compose with encoder_reuse "
+                    "(the guided/plain branches carry different cache "
+                    "batch sizes)"
+                )
         if y is not None:
             y = jnp.asarray(y)
             assert y.shape[0] >= n, "need conditioning for every image"
@@ -598,6 +618,7 @@ class DiffusionEngine:
                     )
                 fn = self._sample_jit(
                     "dpmpp", cfg_scale=guidance_scale,
+                    cfg_interval=guidance_interval,
                     clip=self.clip_while_generating,
                     order=int(dpm_order),
                 )
@@ -625,7 +646,8 @@ class DiffusionEngine:
                         "sampler or clear them"
                     )
                 fn = self._sample_jit(
-                    "ddim", cfg_scale=guidance_scale, eta=ddim_eta,
+                    "ddim", cfg_scale=guidance_scale,
+                    cfg_interval=guidance_interval, eta=ddim_eta,
                     clip=self.clip_while_generating,
                     encoder_reuse=reuse,
                 )
@@ -656,7 +678,10 @@ class DiffusionEngine:
                         reuse_cache_middle if reuse_cache_middle is not None
                         else self.reuse_cache_middle
                     )
-                fn = self._sample_jit("p", cfg_scale=guidance_scale, **static)
+                fn = self._sample_jit(
+                    "p", cfg_scale=guidance_scale,
+                    cfg_interval=guidance_interval, **static,
+                )
             x = fn(params, tables, x_t, kloop, y_chunk, tmap)
             images.append(np.asarray(x))
         return np.concatenate(images, axis=0)[:n]

@@ -46,7 +46,8 @@ __all__ = [
 ]
 
 
-def make_cfg_apply_fn(apply_fn, guidance_scale: float, null_class: int):
+def make_cfg_apply_fn(apply_fn, guidance_scale: float, null_class: int,
+                      interval=None):
     """Classifier-free guidance wrapper (Ho & Salimans, arXiv:2207.12598).
 
     Returns an ``apply_fn`` with the same ``(params, x, t, y, **kw)``
@@ -63,11 +64,18 @@ def make_cfg_apply_fn(apply_fn, guidance_scale: float, null_class: int):
     IDDPM-guidance convention).  Composes with the encoder cache: the
     cache produced/consumed through this wrapper is doubled-batch, and the
     cached null-half features stay null-conditioned.
-    """
+
+    ``interval=(lo, hi)`` (original-schedule timestep units, inclusive)
+    applies guidance only when lo <= t <= hi ("Applying Guidance in a
+    Limited Interval Improves Sample and Distribution Quality",
+    Kynkäänniemi et al., arXiv:2404.07724): outside the window the step
+    runs ONE plain conditional forward — a real `lax.cond`, so the
+    off-interval steps cost a single-batch forward, not a masked doubled
+    one.  Not composable with the encoder cache (the two branches would
+    carry different cache batch sizes)."""
     s = float(guidance_scale)
 
-    def cfg_apply(params, x, t, y, **kwargs):
-        assert y is not None, "guidance requires class labels"
+    def guided(params, x, t, y, **kwargs):
         b = x.shape[0]
         xx = jnp.concatenate([x, x], axis=0)
         tt = jnp.concatenate([t, t], axis=0)
@@ -86,6 +94,23 @@ def make_cfg_apply_fn(apply_fn, guidance_scale: float, null_class: int):
         if kwargs.get("return_cache"):
             return out, cache
         return out
+
+    def cfg_apply(params, x, t, y, **kwargs):
+        assert y is not None, "guidance requires class labels"
+        if interval is None:
+            return guided(params, x, t, y, **kwargs)
+        assert not (kwargs.get("cache") is not None
+                    or kwargs.get("return_cache")), (
+            "guidance_interval does not compose with the encoder cache"
+        )
+        lo, hi = interval
+        in_window = jnp.logical_and(t[0] >= lo, t[0] <= hi)
+        return jax.lax.cond(
+            in_window,
+            lambda x, t, y: guided(params, x, t, y, **kwargs),
+            lambda x, t, y: apply_fn(params, x, t, y, **kwargs),
+            x, t, y,
+        )
 
     return cfg_apply
 

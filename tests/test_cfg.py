@@ -286,3 +286,71 @@ def test_guidance_scale_one_matches_conditional():
     plain = eng.generate_images(n=3, minibatch=3, y=y, seed=5)
     s1 = eng.generate_images(n=3, minibatch=3, y=y, seed=5, guidance_scale=1.0)
     np.testing.assert_allclose(plain, s1, rtol=0, atol=1e-4)
+
+
+def test_guidance_interval_limits():
+    """interval covering the whole chain == always-guided; an empty window
+    == plain conditional sampling (scale becomes irrelevant)."""
+    eng = _unzero(make_engine())
+    y = jnp.asarray([0, 1, 2], jnp.int32)
+    full = eng.generate_images(n=3, minibatch=3, y=y, seed=9,
+                               guidance_scale=2.0)
+    windowed_all = eng.generate_images(
+        n=3, minibatch=3, y=y, seed=9, guidance_scale=2.0,
+        guidance_interval=(1, T),
+    )
+    np.testing.assert_allclose(full, windowed_all, rtol=0, atol=1e-5)
+    never = eng.generate_images(
+        n=3, minibatch=3, y=y, seed=9, guidance_scale=2.0,
+        guidance_interval=(0, 0),
+    )
+    plain = eng.generate_images(n=3, minibatch=3, y=y, seed=9)
+    np.testing.assert_allclose(never, plain, rtol=0, atol=1e-5)
+
+
+def test_guidance_interval_partial():
+    """A mid-chain window is deterministic and sits apart from both the
+    always-guided and never-guided chains."""
+    eng = _unzero(make_engine())
+    y = jnp.asarray([0, 1, 2], jnp.int32)
+    mid = eng.generate_images(
+        n=3, minibatch=3, y=y, seed=9, guidance_scale=3.0,
+        guidance_interval=(T // 3, 2 * T // 3),
+    )
+    again = eng.generate_images(
+        n=3, minibatch=3, y=y, seed=9, guidance_scale=3.0,
+        guidance_interval=(T // 3, 2 * T // 3),
+    )
+    np.testing.assert_array_equal(mid, again)
+    full = eng.generate_images(n=3, minibatch=3, y=y, seed=9,
+                               guidance_scale=3.0)
+    plain = eng.generate_images(n=3, minibatch=3, y=y, seed=9)
+    assert np.abs(mid - full).max() > 0
+    assert np.abs(mid - plain).max() > 0
+
+
+def test_guidance_interval_validation():
+    eng = make_engine()
+    y = jnp.asarray([0, 1], jnp.int32)
+    with pytest.raises(ValueError, match="guidance_scale"):
+        eng.generate_images(n=2, minibatch=2, y=y, seed=0,
+                            guidance_interval=(1, T))
+    with pytest.raises(ValueError, match="encoder_reuse"):
+        eng.generate_images(n=2, minibatch=2, y=y, seed=0,
+                            guidance_scale=2.0, guidance_interval=(1, T),
+                            encoder_reuse=3)
+
+
+def test_guidance_interval_respaced_units():
+    """The window is in ORIGINAL timestep units: on a respaced chain an
+    interval above the kept timesteps' range guides nothing."""
+    eng = _unzero(make_engine())
+    y = jnp.asarray([0, 1], jnp.int32)
+    # respaced to 6 steps of the T=12 chain; window [T+1, T+5] is empty
+    plain = eng.generate_images(n=2, minibatch=2, y=y, seed=4,
+                                num_sample_steps=6)
+    nothing = eng.generate_images(
+        n=2, minibatch=2, y=y, seed=4, num_sample_steps=6,
+        guidance_scale=5.0, guidance_interval=(T + 1, T + 5),
+    )
+    np.testing.assert_allclose(plain, nothing, rtol=0, atol=1e-5)
