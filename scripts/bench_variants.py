@@ -145,6 +145,77 @@ def main():
             name = "pallas_conv" if use_conv else "xla"
             results[name] = measure(apply_fn, params, tables, tmap, 1)
             print(f"{name}: {results[name]} img/s", flush=True)
+    elif mode == "cfg":
+        # classifier-free guidance cost at FLAGSHIP scale (batch 128,
+        # 128ch UNet, 250-step chain — compute-bound, unlike the small
+        # trained-study model): unguided vs full-chain guided (doubled
+        # batch every step) vs guidance_interval windows (lax.cond)
+        from probabilisticdeepdiffusionmodels_tpu.core import (
+            DiffusionTables,
+            NoiseSchedule,
+        )
+        from probabilisticdeepdiffusionmodels_tpu.models import get_model
+        from probabilisticdeepdiffusionmodels_tpu.sample import (
+            make_cfg_apply_fn,
+            p_sample_loop,
+            respaced_schedule,
+            space_timesteps,
+        )
+
+        model = get_model(
+            32,
+            dict(
+                name="unet", in_channels=3, model_channels=128,
+                num_res_blocks=3, attention_resolutions=[16, 8],
+                channel_mult=[1, 2, 2, 2], num_heads=4,
+                compute_dtype="bfloat16", num_classes=10,
+                cfg_null_class=True, use_scale_shift_norm=True,
+            ),
+        )
+        x = jnp.zeros((BATCH, 32, 32, 3), jnp.float32)
+        t = jnp.ones((BATCH,), jnp.int32)
+        y = jnp.asarray(np.arange(BATCH) % 10)
+        params = model.init(jax.random.PRNGKey(0), x, t, y=y)["params"]
+        base_apply = lambda p, xx, tt, yy=None, **kw: model.apply(
+            {"params": p}, xx, tt, yy, **kw
+        )
+        sched = NoiseSchedule.create(diffusion_steps=1000, mode="linear")
+        sub_sched, tmap = respaced_schedule(
+            sched, space_timesteps(1000, STEPS)
+        )
+        tables = DiffusionTables.from_schedule(sub_sched)
+        tmap = jnp.asarray(tmap)
+
+        configs = {
+            "unguided": None,
+            "guided_full": (None,),
+            "guided_100_700": ((100, 700),),
+            "guided_300_500": ((300, 500),),
+        }
+        for name, spec in configs.items():
+            apply_fn = base_apply if spec is None else make_cfg_apply_fn(
+                base_apply, 2.0, 10, interval=spec[0]
+            )
+
+            @jax.jit
+            def sample(params, x_T, key):
+                return p_sample_loop(
+                    apply_fn, params, tables, x_T, key, clip=True,
+                    timestep_map=tmap, y=y,
+                )
+
+            key = jax.random.PRNGKey(1)
+            x_T = jax.random.normal(key, (BATCH, 32, 32, 3), jnp.float32)
+            w = sample(params, x_T, key)
+            assert np.isfinite(float(jnp.sum(w)))
+            t0 = time.perf_counter()
+            out = x_T
+            for i in range(3):
+                out = sample(params, out, jax.random.fold_in(key, i))
+            assert np.isfinite(float(jnp.sum(jnp.abs(out))))
+            dt = (time.perf_counter() - t0) / 3
+            results[name] = round(BATCH / dt, 2)
+            print(f"{name}: {results[name]} img/s", flush=True)
     elif mode == "midcache":
         # middle-block caching on top of encoder reuse (VERDICT r2 next #3:
         # record the measurement): cached steps skip encoder AND middle,
