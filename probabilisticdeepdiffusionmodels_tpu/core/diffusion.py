@@ -34,6 +34,8 @@ __all__ = [
     "q_posterior",
     "xstart_from_epsilon",
     "model_mean_from_epsilon",
+    "v_target",
+    "eps_from_v",
     "p_step",
     "mean_flat",
     "normal_kl",
@@ -240,6 +242,26 @@ def model_mean_from_epsilon(
     denois = expand_to(tables.denoising_coef, t, x_t.ndim)
     a_sqrt = expand_to(tables.alphas_sqrt, t, x_t.ndim)
     return _strict_div(_pm_sub(x_t, _pm_mul(epsilon, denois)), a_sqrt)
+
+
+def v_target(tables: DiffusionTables, x0: jax.Array, noise: jax.Array,
+             t: jax.Array) -> jax.Array:
+    """v-parameterization training target (Salimans & Ho, Progressive
+    Distillation, arXiv:2202.00512 — beyond the reference, which is
+    eps-only): v = sqrt(ab_t)*eps - sqrt(1-ab_t)*x0."""
+    a = expand_to(tables.alphas_hat_sqrt, t, x0.ndim)
+    s = expand_to(tables.one_min_alphas_hat_sqrt, t, x0.ndim)
+    return a * noise - s * x0
+
+
+def eps_from_v(tables: DiffusionTables, x_t: jax.Array, t: jax.Array,
+               v: jax.Array) -> jax.Array:
+    """Invert the v-parameterization given the noised input:
+    eps = sqrt(ab_t)*v + sqrt(1-ab_t)*x_t (and symmetrically
+    x0 = sqrt(ab_t)*x_t - sqrt(1-ab_t)*v)."""
+    a = expand_to(tables.alphas_hat_sqrt, t, x_t.ndim)
+    s = expand_to(tables.one_min_alphas_hat_sqrt, t, x_t.ndim)
+    return a * v + s * x_t
 
 
 def p_step(

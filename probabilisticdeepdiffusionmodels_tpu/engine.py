@@ -36,6 +36,7 @@ from .sample.sampler import (
     ddim_sample_loop,
     dpmpp_sample_loop,
     make_cfg_apply_fn,
+    make_v_to_eps_apply_fn,
     p_sample_loop,
     respaced_schedule,
     space_timesteps,
@@ -147,6 +148,7 @@ class DiffusionEngine:
         steps_per_epoch: Optional[int] = None,
         watch: bool = False,
         class_dropout_prob: float = 0.0,
+        prediction_type: str = "epsilon",
         encoder_reuse: int = 1,
         reuse_exact_head: int = 0,
         reuse_exact_tail: int = 0,
@@ -174,6 +176,7 @@ class DiffusionEngine:
             grad_clip=grad_clip,
             accumulate_grad_batches=accumulate_grad_batches,
             class_dropout_prob=class_dropout_prob,
+            prediction_type=prediction_type,
             encoder_reuse=encoder_reuse,
             reuse_exact_head=reuse_exact_head,
             reuse_exact_tail=reuse_exact_tail,
@@ -282,13 +285,23 @@ class DiffusionEngine:
         # positionally would silently feed labels as the conditioning image
         # (VERDICT r1 weak #5).
         if self.cond_kind == "superres":
-            self._apply = lambda params, x, t, y=None, **kw: self.model.apply(
+            self._apply_raw = lambda params, x, t, y=None, **kw: self.model.apply(
                 {"params": params}, x, t, low_res=y, **kw
             )
         else:
-            self._apply = lambda params, x, t, y=None, **kw: self.model.apply(
+            self._apply_raw = lambda params, x, t, y=None, **kw: self.model.apply(
                 {"params": params}, x, t, y, **kw
             )
+        # prediction_type="v" (arXiv:2202.00512, beyond the reference):
+        # training regresses v; every inference consumer (samplers, NLL,
+        # FID, guidance) sees the eps-view wrapper so nothing else changes.
+        if prediction_type not in ("epsilon", "v"):
+            raise ValueError(f'Unknown prediction_type: "{prediction_type}"')
+        self.prediction_type = prediction_type
+        if prediction_type == "v":
+            self._apply = make_v_to_eps_apply_fn(self._apply_raw, self.tables)
+        else:
+            self._apply = self._apply_raw
         self._sample_jits: Dict[Any, Any] = {}
         self.class_dropout_prob = float(class_dropout_prob or 0.0)
         if self.class_dropout_prob:
@@ -303,7 +316,7 @@ class DiffusionEngine:
         dropout = float(dict(model_config).get("dropout", 0) or 0) > 0
         self._train_step = jax.jit(
             make_train_step(
-                self._apply,
+                self._apply_raw,
                 self.tables,
                 sampling=sampling,
                 loss_type=loss_type,
@@ -313,10 +326,15 @@ class DiffusionEngine:
                 null_class=(
                     self.model.num_classes if self.class_dropout_prob else None
                 ),
+                prediction_type=prediction_type,
             ),
             donate_argnums=(0,),
         )
-        self._eval_step = jax.jit(make_eval_step(self._apply, self.tables))
+        self._eval_step = jax.jit(
+            make_eval_step(
+                self._apply_raw, self.tables, prediction_type=prediction_type
+            )
+        )
         self._nll = jax.jit(
             functools.partial(
                 calculate_likelihood, self._apply, sigma_mode=self.sigma_mode

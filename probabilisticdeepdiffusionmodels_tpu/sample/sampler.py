@@ -41,9 +41,45 @@ __all__ = [
     "ddim_sample_loop",
     "dpmpp_sample_loop",
     "make_cfg_apply_fn",
+    "make_v_to_eps_apply_fn",
     "space_timesteps",
     "respaced_schedule",
 ]
+
+
+def make_v_to_eps_apply_fn(apply_fn, tables: DiffusionTables):
+    """Eps-view of a v-parameterized model (Salimans & Ho,
+    arXiv:2202.00512): wraps ``apply_fn`` so its v output is converted to
+    eps per call — every downstream consumer (all three sampling loops,
+    the NLL evaluator, FID, CFG guidance) then works unchanged.
+
+    ``tables`` must be the FULL-schedule tables: the wrapper sees
+    original-unit timesteps (the loops apply ``timestep_map`` before the
+    model call), so respaced sampling converts with the right ab_t.
+    With a learned-sigma head (out channels == 2*C) only the first half
+    is converted; the variance interpolation passes through.
+    ``return_features`` calls pass through untouched (a feature dict has
+    no eps to convert)."""
+
+    def eps_apply(params, x, t, y, **kwargs):
+        out = apply_fn(params, x, t, y, **kwargs)
+        if kwargs.get("return_features"):
+            return out
+        cache = None
+        if kwargs.get("return_cache"):
+            out, cache = out
+        c = x.shape[-1]
+        if out.shape[-1] == 2 * c:
+            v_head, var_head = jnp.split(out, 2, axis=-1)
+            eps = D.eps_from_v(tables, x.astype(v_head.dtype), t, v_head)
+            out = jnp.concatenate([eps, var_head], axis=-1)
+        else:
+            out = D.eps_from_v(tables, x.astype(out.dtype), t, out)
+        if kwargs.get("return_cache"):
+            return out, cache
+        return out
+
+    return eps_apply
 
 
 def make_cfg_apply_fn(apply_fn, guidance_scale: float, null_class: int,

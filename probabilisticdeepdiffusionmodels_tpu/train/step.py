@@ -83,6 +83,7 @@ def make_train_step(
     watch: bool = False,
     class_dropout_prob: float = 0.0,
     null_class: int = None,
+    prediction_type: str = "epsilon",
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the pure train step: (state, x0 [, y]) -> (state, metrics).
 
@@ -94,6 +95,12 @@ def make_train_step(
     by ``null_class`` (the model's reserved ``cfg_null_class`` embedding
     row) with probability p, so one model learns both the conditional and
     the unconditional score.  Requires labels every step.
+
+    ``prediction_type``: "epsilon" (reference semantics) or "v"
+    (arXiv:2202.00512) — the model regresses
+    v = sqrt(ab)*eps - sqrt(1-ab)*x0 instead of eps (an SNR-dependent loss
+    reweighting; inference converts back via
+    sample.make_v_to_eps_apply_fn).
     """
     T = tables.diffusion_steps
     if sampling not in ("uniform", "importance"):
@@ -101,6 +108,8 @@ def make_train_step(
     if class_dropout_prob and null_class is None:
         raise ValueError("class_dropout_prob needs null_class (the index "
                          "of the model's cfg_null_class embedding row)")
+    if prediction_type not in ("epsilon", "v"):
+        raise ValueError(f'Unknown prediction_type: "{prediction_type}"')
 
     def step(state: TrainState, x0: jax.Array, y=None):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -121,6 +130,10 @@ def make_train_step(
 
         noise = jax.random.normal(key_noise, x0.shape, x0.dtype)
         x_t = D.q_sample(tables, x0, noise, t)
+        target = (
+            noise if prediction_type == "epsilon"
+            else D.v_target(tables, x0, noise, t)
+        )
 
         def loss_fn(params):
             kwargs = dict(rngs={"dropout": key_drop}, train=True) if dropout else {}
@@ -129,14 +142,20 @@ def make_train_step(
                 eps_pred, v_pred = jnp.split(out, 2, axis=-1)
             else:
                 eps_pred, v_pred = out, None
-            per_sample = D.mean_flat(jnp.square(noise - eps_pred))
+            per_sample = D.mean_flat(jnp.square(target - eps_pred))
             if weights is not None:
                 loss = jnp.sum(weights * per_sample)  # engine.py:274-275
             else:
                 loss = jnp.mean(per_sample)           # engine.py:276-277
             aux = {"mse_per_sample": per_sample}
             if loss_type == "hybrid":
-                vlb = _vlb_term(tables, params, apply_fn, x0, x_t, t, eps_pred, v_pred)
+                # the vlb term is eps-parameterized; under "v" the model's
+                # first head is v and must be converted for the posterior
+                vlb_eps = (
+                    eps_pred if prediction_type == "epsilon"
+                    else D.eps_from_v(tables, x_t, t, eps_pred)
+                )
+                vlb = _vlb_term(tables, params, apply_fn, x0, x_t, t, vlb_eps, v_pred)
                 loss = loss + vlb_weight * jnp.mean(vlb)
                 aux["vlb"] = jnp.mean(vlb)
             return loss, aux
@@ -169,11 +188,13 @@ def make_train_step(
 
 
 def make_eval_step(
-    apply_fn: Callable, tables: DiffusionTables
+    apply_fn: Callable, tables: DiffusionTables,
+    prediction_type: str = "epsilon",
 ) -> Callable:
     """Validation loss (uniform t, no weights, no dropout), computed for a
     given param set — callers pass params or ema_params to reproduce the
-    reference's val_loss / val_loss_no_ema pair (src/engine.py:309-330)."""
+    reference's val_loss / val_loss_no_ema pair (src/engine.py:309-330).
+    Under ``prediction_type="v"`` the loss targets v (matching training)."""
     T = tables.diffusion_steps
 
     def step(params, rng: jax.Array, x0: jax.Array, y=None):
@@ -181,10 +202,14 @@ def make_eval_step(
         t, _ = sample_uniform(key_t, x0.shape[0], T)
         noise = jax.random.normal(key_noise, x0.shape, x0.dtype)
         x_t = D.q_sample(tables, x0, noise, t)
+        target = (
+            noise if prediction_type == "epsilon"
+            else D.v_target(tables, x0, noise, t)
+        )
         out = apply_fn(params, x_t, t, y)
-        eps_pred = (
+        pred = (
             jnp.split(out, 2, axis=-1)[0] if out.shape[-1] == 2 * x0.shape[-1] else out
         )
-        return jnp.mean(D.mean_flat(jnp.square(noise - eps_pred)))
+        return jnp.mean(D.mean_flat(jnp.square(target - pred)))
 
     return step
