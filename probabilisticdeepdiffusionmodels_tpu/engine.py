@@ -31,7 +31,13 @@ from .core.schedules import NoiseSchedule
 from .core import diffusion as D
 from .evals.nll import calculate_likelihood
 from .models import get_model
-from .parallel.mesh import data_sharding, replicated, shard_batch, spatial_sharding
+from .parallel.mesh import (
+    data_sharding,
+    fsdp_sharding,
+    replicated,
+    shard_batch,
+    spatial_sharding,
+)
 from .sample.sampler import (
     ddim_sample_loop,
     dpmpp_sample_loop,
@@ -144,6 +150,8 @@ class DiffusionEngine:
         grad_clip: Optional[float] = None,
         accumulate_grad_batches: int = 1,
         mesh: Optional[Any] = None,
+        param_sharding: str = "replicated",
+        fsdp_min_size: int = 65536,
         in_channels: Optional[int] = None,
         steps_per_epoch: Optional[int] = None,
         watch: bool = False,
@@ -199,6 +207,20 @@ class DiffusionEngine:
         self.sigma_mode = sigma_mode
         self.clip_while_generating = clip_while_generating
         self.mesh = mesh
+        # param_sharding="fsdp": shard every large state leaf (params, EMA,
+        # Adam moments) over the data axis — per-device state memory ~1/N,
+        # XLA all-gathers weights per-layer / reduce-scatters grads over
+        # ICI (the jax ZeRO-3 recipe; parallel/mesh.py::fsdp_sharding).
+        if param_sharding not in ("replicated", "fsdp"):
+            raise ValueError(
+                f'param_sharding must be "replicated" or "fsdp", '
+                f'got {param_sharding!r}'
+            )
+        if param_sharding == "fsdp" and mesh is None:
+            raise ValueError('param_sharding="fsdp" requires a mesh')
+        self.param_sharding = param_sharding
+        self.fsdp_min_size = int(fsdp_min_size)
+        self.hparams["param_sharding"] = param_sharding
 
         mc = dict(model_config)
         if loss_type == "hybrid":
@@ -272,13 +294,13 @@ class DiffusionEngine:
             ema_decay=ema,
         )
         if mesh is not None:
-            # explicitly replicate the train state onto the mesh instead of
+            # explicitly place the train state onto the mesh instead of
             # relying on jit's implicit placement — the batch arrives
             # data-sharded and XLA then compiles the step with the state
-            # pinned replicated on every device (VERDICT r2 weak #2 / next
-            # #1; the reference gets the equivalent from Lightning DDP's
-            # broadcast, scripts/train.py:139-150)
-            self.state = jax.device_put(self.state, replicated(mesh))
+            # pinned replicated (or fsdp-sharded) on every device (VERDICT
+            # r2 weak #2 / next #1; the reference gets the equivalent from
+            # Lightning DDP's broadcast, scripts/train.py:139-150)
+            self.state = jax.device_put(self.state, self._state_sharding())
 
         # kwarg-correct apply: for SuperResModel the conditioning slot is the
         # `low_res` keyword, NOT the positional label slot — passing y
@@ -349,12 +371,22 @@ class DiffusionEngine:
             return self.state.ema_params
         return self.state.params
 
+    def _state_sharding(self):
+        """Per-leaf sharding tree for self.state: replicated, or the fsdp
+        layout (large leaves split over the data axis)."""
+        if self.param_sharding == "fsdp":
+            return fsdp_sharding(
+                self.mesh, self.state, min_size=self.fsdp_min_size
+            )
+        return replicated(self.mesh)
+
     def replicate_state(self):
-        """Re-pin self.state replicated on the mesh.  Call after swapping
-        the state wholesale (e.g. a checkpoint restore, which lands on the
-        default device) so subsequent steps keep their SPMD layout."""
+        """Re-pin self.state onto the mesh in its configured layout
+        (replicated or fsdp).  Call after swapping the state wholesale
+        (e.g. a checkpoint restore, which lands on the default device) so
+        subsequent steps keep their SPMD layout."""
         if self.mesh is not None:
-            self.state = jax.device_put(self.state, replicated(self.mesh))
+            self.state = jax.device_put(self.state, self._state_sharding())
 
     # ------------ training
 
@@ -575,10 +607,12 @@ class DiffusionEngine:
         images = []
         shape = (minibatch, *(self.resolution,) * self.dims, self.in_channels)
 
-        if self.mesh is not None:
+        if self.mesh is not None and self.param_sharding == "replicated":
             # batch-sharded sampling over the mesh (BASELINE config #5):
             # x_T sharded on the data axis, params replicated, every step of
-            # the scanned trajectory stays sharded with no collectives
+            # the scanned trajectory stays sharded with no collectives.
+            # (fsdp params stay in their sharded layout — XLA all-gathers
+            # each weight at its use site inside the scan.)
             params = jax.device_put(params, replicated(self.mesh))
 
         if x_T is not None:

@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh", "data_sharding", "spatial_sharding", "replicated",
-    "shard_batch", "P",
+    "fsdp_sharding", "shard_batch", "P",
 ]
 
 DATA_AXIS = "data"
@@ -67,6 +67,43 @@ def spatial_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def _fsdp_leaf(mesh: Mesh, shape, axis_name: str, min_size: int) -> NamedSharding:
+    """Sharding for one state leaf: the largest axis-divisible dim is split
+    over the mesh axis; small or indivisible leaves stay replicated."""
+    n = mesh.shape[axis_name]
+    if not shape or int(np.prod(shape)) < min_size:
+        return replicated(mesh)
+    best = None
+    for i, d in enumerate(shape):
+        if d % n == 0 and (best is None or d >= shape[best]):
+            best = i  # ties resolve to the LAST max dim (channel axes)
+    if best is None:
+        return replicated(mesh)
+    spec = [None] * len(shape)
+    spec[best] = axis_name
+    return NamedSharding(mesh, P(*spec))
+
+
+def fsdp_sharding(mesh: Mesh, tree, axis_name: str = DATA_AXIS,
+                  min_size: int = 65536):
+    """Fully-sharded state layout (the ZeRO-3 / jax "fsdp" recipe): every
+    large leaf of ``tree`` (params, EMA copy, Adam moments) is sharded
+    across the data axis, so per-device state memory scales ~1/N.  Under
+    ``jit`` the XLA SPMD partitioner then all-gathers each weight just
+    before use and reduce-scatters its gradient — all over ICI, no code
+    changes in the step function.  Returns a pytree of NamedShardings
+    matching ``tree`` (pass to ``jax.device_put``).
+
+    ``min_size``: leaves below this many elements stay replicated (scalars,
+    biases, norm affines — gathering them costs more latency than the
+    bytes saved)."""
+    return jax.tree.map(
+        lambda x: _fsdp_leaf(mesh, getattr(x, "shape", ()), axis_name,
+                             min_size),
+        tree,
+    )
 
 
 def shard_batch(mesh: Mesh, batch):
