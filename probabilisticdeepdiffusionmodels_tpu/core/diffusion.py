@@ -36,6 +36,7 @@ __all__ = [
     "model_mean_from_epsilon",
     "v_target",
     "eps_from_v",
+    "min_snr_weight",
     "p_step",
     "mean_flat",
     "normal_kl",
@@ -262,6 +263,27 @@ def eps_from_v(tables: DiffusionTables, x_t: jax.Array, t: jax.Array,
     a = expand_to(tables.alphas_hat_sqrt, t, x_t.ndim)
     s = expand_to(tables.one_min_alphas_hat_sqrt, t, x_t.ndim)
     return a * v + s * x_t
+
+
+def min_snr_weight(tables: DiffusionTables, t: jax.Array, gamma: float,
+                   prediction_type: str = "epsilon") -> jax.Array:
+    """Min-SNR-gamma per-sample loss weight (Hang et al., arXiv:2303.09556
+    — beyond the reference, which uses the uniform "simple" weighting).
+
+    SNR(t) = ab_t / (1 - ab_t).  In x0-space the clamped weight is
+    min(SNR, gamma); expressed on the loss actually computed here it is
+      epsilon target: min(SNR, gamma) / SNR          (eq. 14)
+      v target:       min(SNR, gamma) / (SNR + 1)    (eq. 17)
+    so late (high-SNR, low-t) steps stop dominating the gradient.  Returns
+    shape [B] to multiply the per-sample MSE."""
+    ab = gather(tables.alphas_hat, t)
+    snr = ab / (1.0 - ab)
+    clamped = jnp.minimum(snr, gamma)
+    if prediction_type == "epsilon":
+        return clamped / snr
+    if prediction_type == "v":
+        return clamped / (snr + 1.0)
+    raise ValueError(f'Unknown prediction_type: "{prediction_type}"')
 
 
 def p_step(

@@ -41,6 +41,7 @@ from .parallel.mesh import (
 from .sample.sampler import (
     ddim_sample_loop,
     dpmpp_sample_loop,
+    inpaint_sample_loop,
     make_cfg_apply_fn,
     make_v_to_eps_apply_fn,
     p_sample_loop,
@@ -157,6 +158,8 @@ class DiffusionEngine:
         watch: bool = False,
         class_dropout_prob: float = 0.0,
         prediction_type: str = "epsilon",
+        loss_weighting: str = "none",
+        snr_gamma: float = 5.0,
         encoder_reuse: int = 1,
         reuse_exact_head: int = 0,
         reuse_exact_tail: int = 0,
@@ -185,6 +188,8 @@ class DiffusionEngine:
             accumulate_grad_batches=accumulate_grad_batches,
             class_dropout_prob=class_dropout_prob,
             prediction_type=prediction_type,
+            loss_weighting=loss_weighting,
+            snr_gamma=snr_gamma,
             encoder_reuse=encoder_reuse,
             reuse_exact_head=reuse_exact_head,
             reuse_exact_tail=reuse_exact_tail,
@@ -335,6 +340,10 @@ class DiffusionEngine:
                     "with model_config cfg_null_class=True (the reserved "
                     "null embedding row)"
                 )
+        # loss_weighting="min_snr" (arXiv:2303.09556, beyond the reference):
+        # clamped-SNR objective reweighting, validated in make_train_step
+        self.loss_weighting = loss_weighting
+        self.snr_gamma = float(snr_gamma)
         dropout = float(dict(model_config).get("dropout", 0) or 0) > 0
         self._train_step = jax.jit(
             make_train_step(
@@ -349,12 +358,15 @@ class DiffusionEngine:
                     self.model.num_classes if self.class_dropout_prob else None
                 ),
                 prediction_type=prediction_type,
+                loss_weighting=loss_weighting,
+                snr_gamma=self.snr_gamma,
             ),
             donate_argnums=(0,),
         )
         self._eval_step = jax.jit(
             make_eval_step(
-                self._apply_raw, self.tables, prediction_type=prediction_type
+                self._apply_raw, self.tables, prediction_type=prediction_type,
+                loss_weighting=loss_weighting, snr_gamma=self.snr_gamma,
             )
         )
         self._nll = jax.jit(
@@ -455,16 +467,17 @@ class DiffusionEngine:
     def _sample_tables(self, num_sample_steps=None):
         """Tables + timestep map for full or strided sampling.
 
-        ``num_sample_steps`` accepts an int, "ddimN", or an IDDPM
-        section-count list ("15,15,20" / [15,15,20]) — see
-        sample.space_timesteps.
+        ``num_sample_steps`` accepts an int, "ddimN", "karrasN" (Karras
+        rho=7 sigma spacing, arXiv:2206.00364), or an IDDPM section-count
+        list ("15,15,20" / [15,15,20]) — see sample.space_timesteps.
         """
         if num_sample_steps is None or (
             isinstance(num_sample_steps, int)
             and num_sample_steps >= self.diffusion_steps
         ):
             return self.tables, None, self.diffusion_steps
-        kept = space_timesteps(self.diffusion_steps, num_sample_steps)
+        kept = space_timesteps(self.diffusion_steps, num_sample_steps,
+                               alphas_hat=self.schedule.alphas_hat)
         new_sched, tmap = respaced_schedule(self.schedule, kept)
         return (
             DiffusionTables.from_schedule(new_sched),
@@ -496,6 +509,7 @@ class DiffusionEngine:
                 "p": p_sample_loop,
                 "ddim": ddim_sample_loop,
                 "dpmpp": dpmpp_sample_loop,
+                "inpaint": inpaint_sample_loop,
             }[loop_name]
             apply_fn = self._apply
             if cfg_scale is not None:
@@ -504,11 +518,21 @@ class DiffusionEngine:
                     interval=cfg_interval,
                 )
 
-            def run(params, tables, x_t, key, y, timestep_map):
-                return loop(
-                    apply_fn, params, tables, x_t, key, y=y,
-                    timestep_map=timestep_map, **static_kw,
-                )
+            if loop_name == "inpaint":
+                # two extra traced arrays (the known image and its mask)
+                def run(params, tables, x_t, key, y, timestep_map,
+                        x0_known, mask):
+                    return loop(
+                        apply_fn, params, tables, x_t, key, y=y,
+                        timestep_map=timestep_map, x0_known=x0_known,
+                        mask=mask, **static_kw,
+                    )
+            else:
+                def run(params, tables, x_t, key, y, timestep_map):
+                    return loop(
+                        apply_fn, params, tables, x_t, key, y=y,
+                        timestep_map=timestep_map, **static_kw,
+                    )
 
             fn = jax.jit(run)
             self._sample_jits[cache_key] = fn
@@ -771,6 +795,29 @@ class DiffusionEngine:
         )
         recon = fn(self.params(use_ema), self.tables, x_t, kloop, None, None)
         return recon, x_t
+
+    def inpaint(self, x0, mask, seed=None, use_ema=True, y=None,
+                num_sample_steps=None, resample_steps=1, key=None):
+        """RePaint-style inpainting (arXiv:2201.09865, beyond the
+        reference): fill the ``mask == 0`` region of ``x0`` conditioned on
+        the rest.  ``mask`` broadcasts to x0's shape (1 = keep).
+        ``resample_steps`` R > 1 harmonizes each step R times (R model
+        calls/step); ``num_sample_steps`` accepts the same respacing specs
+        as generate_images.  Returns images with the known region equal to
+        x0 exactly."""
+        x0 = jnp.asarray(x0)
+        mask = jnp.asarray(mask)
+        key = key if key is not None else jax.random.PRNGKey(seed or 0)
+        knoise, kloop = jax.random.split(key)
+        tables, tmap, _ = self._sample_tables(num_sample_steps)
+        x_t = jax.random.normal(knoise, x0.shape, jnp.float32)
+        fn = self._sample_jit(
+            "inpaint", sigma_mode=self.sigma_mode,
+            clip=self.clip_while_generating,
+            resample_steps=int(resample_steps),
+        )
+        return fn(self.params(use_ema), tables, x_t, kloop, y, tmap,
+                  x0, mask)
 
     def diffuse_and_reconstruct_grid(
         self, x0, t_start=None, steps_to_return=(1,), seed=None,

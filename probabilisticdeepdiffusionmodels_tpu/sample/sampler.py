@@ -40,6 +40,7 @@ __all__ = [
     "p_sample_loop",
     "ddim_sample_loop",
     "dpmpp_sample_loop",
+    "inpaint_sample_loop",
     "make_cfg_apply_fn",
     "make_v_to_eps_apply_fn",
     "space_timesteps",
@@ -418,11 +419,15 @@ def _p_sample_loop_encoder_reuse(
     return x
 
 
-def space_timesteps(diffusion_steps: int, section_counts) -> list:
+def space_timesteps(diffusion_steps: int, section_counts,
+                    alphas_hat: Optional[np.ndarray] = None) -> list:
     """Choose which original timesteps to keep for strided sampling.
 
     ``section_counts``: int N (evenly spaced N steps), "ddimN" for the DDIM
-    stride-T/N spacing, or an IDDPM section-count list — "15,15,20" or
+    stride-T/N spacing, "karrasN" for Karras rho=7 sigma spacing
+    (arXiv:2206.00364 eq. 5 — steps concentrated at low noise, the usual
+    pairing with DPM-Solver++; needs ``alphas_hat`` to place the grid on
+    this schedule's sigmas), or an IDDPM section-count list — "15,15,20" or
     [15, 15, 20] — which splits the T steps into len(counts) contiguous
     spans and picks counts[i] fractionally-strided steps inside span i
     (the improved-diffusion ``space_timesteps`` semantics; BASELINE
@@ -434,6 +439,17 @@ def space_timesteps(diffusion_steps: int, section_counts) -> list:
             n = int(section_counts[len("ddim"):])
             stride = diffusion_steps // n
             return list(range(1, diffusion_steps + 1, stride))[:n]
+        if section_counts.startswith("karras"):
+            if alphas_hat is None:
+                raise ValueError(
+                    "karrasN spacing places its grid on the schedule's "
+                    "sigmas; pass alphas_hat (engine callers do this "
+                    "automatically)"
+                )
+            return _karras_spaced(
+                np.asarray(alphas_hat, np.float64),
+                int(section_counts[len("karras"):]),
+            )
         if "," in section_counts:
             section_counts = [int(s) for s in section_counts.split(",")]
         else:
@@ -473,6 +489,27 @@ def _section_spaced(diffusion_steps: int, counts) -> list:
             cursor += stride
         start += size
     return sorted(set(k + 1 for k in kept))
+
+
+def _karras_spaced(alphas_hat: np.ndarray, n: int, rho: float = 7.0) -> list:
+    """Karras et al. sigma grid mapped to the nearest discrete timesteps.
+
+    sigma_i = (smax^(1/rho) + i/(n-1)*(smin^(1/rho) - smax^(1/rho)))^rho
+    over the schedule's own sigma range (sigma(t) = sqrt((1-ab_t)/ab_t)),
+    each grid point snapped to the closest original step in log-sigma.
+    Endpoints hit t=1 and t=T exactly; snapping can merge neighbors, so
+    the kept set may be smaller than n at tiny T (documented, matches the
+    k-diffusion discrete-model behavior).
+    """
+    sigmas = np.sqrt((1.0 - alphas_hat) / alphas_hat)  # ascending in t
+    smin, smax = float(sigmas[0]), float(sigmas[-1])
+    ramp = np.linspace(0.0, 1.0, int(n))
+    grid = (
+        smax ** (1.0 / rho) + ramp * (smin ** (1.0 / rho) - smax ** (1.0 / rho))
+    ) ** rho
+    log_s = np.log(sigmas)
+    idx = np.abs(log_s[None, :] - np.log(grid)[:, None]).argmin(axis=1)
+    return sorted(set(int(i) + 1 for i in idx))
 
 
 def respaced_schedule(
@@ -670,4 +707,89 @@ def dpmpp_sample_loop(
     (x_final, _, _, _), _ = jax.lax.scan(
         body, carry0, jnp.arange(T, 0, -1)
     )
+    return x_final
+
+
+def inpaint_sample_loop(
+    apply_fn: Callable,
+    params,
+    tables: DiffusionTables,
+    x_t: jax.Array,
+    key: jax.Array,
+    *,
+    x0_known: jax.Array,
+    mask: jax.Array,
+    sigma_mode: str = "beta",
+    clip: bool = False,
+    y: Optional[jax.Array] = None,
+    timestep_map: Optional[jax.Array] = None,
+    resample_steps: int = 1,
+):
+    """RePaint-style inpainting (Lugmayr et al., arXiv:2201.09865) — beyond
+    the reference, whose closest endpoint is full-image
+    diffuse_and_reconstruct (src/engine.py:617-657).
+
+    One lax.scan over the reverse chain; at every step the model denoises
+    the full image, then the KNOWN region (``mask`` == 1) is overwritten
+    with a fresh forward-noising of ``x0_known`` at the step's target time,
+    so the unknown region is generated *conditioned on* consistent known
+    content.  ``resample_steps`` R > 1 adds RePaint's time-travel
+    resampling: each step is harmonized R times by re-noising
+    x_{t-1} -> x_t through one forward kernel q(x_t|x_{t-1}) and denoising
+    again (R model calls per step — NFE scales linearly).
+
+    ``mask`` broadcasts to image shape; 1 = keep from x0_known, 0 = fill.
+    Works on respaced chains via ``timestep_map`` like every other loop.
+    """
+    T = tables.diffusion_steps
+    b = x_t.shape[0]
+    ndim = x_t.ndim
+    R = int(resample_steps)
+    assert R >= 1
+    mask = jnp.broadcast_to(mask, x_t.shape).astype(x_t.dtype)
+
+    def body(x, t_step):
+        t = jnp.full((b,), t_step, dtype=jnp.int32)
+
+        def one(i, x):
+            kk = jax.random.fold_in(jax.random.fold_in(key, t_step), i)
+            k_z, k_known, k_renoise = jax.random.split(kk, 3)
+            eps, v = _model_eps(apply_fn, params, tables, x, t, y,
+                                timestep_map)
+            z = jax.random.normal(k_z, x.shape, x.dtype)
+            if v is not None:
+                mean = D.model_mean_from_epsilon(tables, x, t, eps, clip=clip)
+                sigma = _learned_sigma(tables, t, v, ndim)
+                nonterminal = D.expand_to_mask(t > 1, ndim).astype(x.dtype)
+                x_prev = mean - sigma * z * nonterminal
+            else:
+                x_prev = D.p_step(
+                    tables, x, t, eps, z, sigma_mode=sigma_mode, clip=clip,
+                )
+            # known content at the step's target time t-1 (t-1 == 0 is the
+            # clean image itself)
+            noise_known = jax.random.normal(k_known, x.shape, x.dtype)
+            known_prev = jnp.where(
+                D.expand_to_mask(t > 1, ndim),
+                D.q_sample(tables, x0_known, noise_known,
+                           jnp.maximum(t - 1, 1)),
+                x0_known,
+            )
+            x_prev = mask * known_prev + (1.0 - mask) * x_prev
+            if R == 1:
+                return x_prev
+            # RePaint resampling: one forward kernel q(x_t|x_{t-1}) back up,
+            # except after the final harmonization pass
+            beta = D.expand_to(tables.betas, t, ndim)
+            renoised = (
+                jnp.sqrt(1.0 - beta) * x_prev
+                + jnp.sqrt(beta) * jax.random.normal(k_renoise, x.shape,
+                                                     x.dtype)
+            )
+            return jnp.where(i == R - 1, x_prev, renoised)
+
+        x = jax.lax.fori_loop(0, R, one, x)
+        return x, None
+
+    x_final, _ = jax.lax.scan(body, x_t, jnp.arange(T, 0, -1))
     return x_final

@@ -84,6 +84,8 @@ def make_train_step(
     class_dropout_prob: float = 0.0,
     null_class: int = None,
     prediction_type: str = "epsilon",
+    loss_weighting: str = "none",
+    snr_gamma: float = 5.0,
 ) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
     """Build the pure train step: (state, x0 [, y]) -> (state, metrics).
 
@@ -101,6 +103,12 @@ def make_train_step(
     v = sqrt(ab)*eps - sqrt(1-ab)*x0 instead of eps (an SNR-dependent loss
     reweighting; inference converts back via
     sample.make_v_to_eps_apply_fn).
+
+    ``loss_weighting``: "none" (reference semantics) or "min_snr"
+    (arXiv:2303.09556) — multiply the per-sample MSE by the clamped-SNR
+    weight ``snr_gamma`` before reduction.  Applied to the objective
+    itself, so the loss history (and thus importance sampling) tracks the
+    weighted loss actually being optimized.
     """
     T = tables.diffusion_steps
     if sampling not in ("uniform", "importance"):
@@ -110,6 +118,8 @@ def make_train_step(
                          "of the model's cfg_null_class embedding row)")
     if prediction_type not in ("epsilon", "v"):
         raise ValueError(f'Unknown prediction_type: "{prediction_type}"')
+    if loss_weighting not in ("none", "min_snr"):
+        raise ValueError(f'Unknown loss_weighting: "{loss_weighting}"')
 
     def step(state: TrainState, x0: jax.Array, y=None):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -143,6 +153,10 @@ def make_train_step(
             else:
                 eps_pred, v_pred = out, None
             per_sample = D.mean_flat(jnp.square(target - eps_pred))
+            if loss_weighting == "min_snr":
+                per_sample = per_sample * D.min_snr_weight(
+                    tables, t, snr_gamma, prediction_type
+                )
             if weights is not None:
                 loss = jnp.sum(weights * per_sample)  # engine.py:274-275
             else:
@@ -190,11 +204,16 @@ def make_train_step(
 def make_eval_step(
     apply_fn: Callable, tables: DiffusionTables,
     prediction_type: str = "epsilon",
+    loss_weighting: str = "none",
+    snr_gamma: float = 5.0,
 ) -> Callable:
     """Validation loss (uniform t, no weights, no dropout), computed for a
     given param set — callers pass params or ema_params to reproduce the
     reference's val_loss / val_loss_no_ema pair (src/engine.py:309-330).
-    Under ``prediction_type="v"`` the loss targets v (matching training)."""
+    Under ``prediction_type="v"`` the loss targets v (matching training);
+    ``loss_weighting="min_snr"`` applies the same objective reweighting as
+    the train step so val_loss stays comparable (early stopping / best-k
+    checkpointing monitor it)."""
     T = tables.diffusion_steps
 
     def step(params, rng: jax.Array, x0: jax.Array, y=None):
@@ -210,6 +229,11 @@ def make_eval_step(
         pred = (
             jnp.split(out, 2, axis=-1)[0] if out.shape[-1] == 2 * x0.shape[-1] else out
         )
-        return jnp.mean(D.mean_flat(jnp.square(target - pred)))
+        per_sample = D.mean_flat(jnp.square(target - pred))
+        if loss_weighting == "min_snr":
+            per_sample = per_sample * D.min_snr_weight(
+                tables, t, snr_gamma, prediction_type
+            )
+        return jnp.mean(per_sample)
 
     return step

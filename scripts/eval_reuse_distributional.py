@@ -67,6 +67,29 @@ CONFIG_SETS = {
         ("k3_250_midcache", dict(encoder_reuse=3, num_sample_steps=250,
                                  reuse_cache_middle=True)),
     ],
+    # parameterization study (round 3): the same sampler menu on an eps-
+    # and a v-trained twin (runs/synstudy_linear_T1000{,_v}) — the metric
+    # is objective-independent, so the Frechet gap IS the
+    # parameterization's effect
+    "vstudy": [
+        ("exact", dict(encoder_reuse=1)),
+        ("ddim_50", dict(ddim=True, num_sample_steps=50)),
+        ("dpmpp_10", dict(dpm_solver=True, num_sample_steps=10)),
+    ],
+    # Karras rho=7 sigma spacing (arXiv:2206.00364) vs uniform stride at
+    # the same NFE, on DPM++(2M) and DDIM — does the spacing move the
+    # few-step quality floor?
+    "karras": [
+        ("exact", dict(encoder_reuse=1)),
+        ("dpmpp_10", dict(dpm_solver=True, num_sample_steps=10)),
+        ("dpmpp_k10", dict(dpm_solver=True, num_sample_steps="karras10")),
+        ("dpmpp_25", dict(dpm_solver=True, num_sample_steps=25)),
+        ("dpmpp_k25", dict(dpm_solver=True, num_sample_steps="karras25")),
+        ("ddim_10", dict(ddim=True, num_sample_steps=10)),
+        ("ddim_k10", dict(ddim=True, num_sample_steps="karras10")),
+        ("ddim_50", dict(ddim=True, num_sample_steps=50)),
+        ("ddim_k50", dict(ddim=True, num_sample_steps="karras50")),
+    ],
     # probability-flow-ODE convergence check: full-T DDIM (eta=0) and
     # DPM++(2M) discretize the SAME ODE — at T=1000 both must land at its
     # limit, which anchors whether dpmpp's few-step numbers are the

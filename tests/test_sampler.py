@@ -273,3 +273,41 @@ def test_space_timesteps_section_lists():
         assert got[0] >= 1 and got[-1] <= T_
     with pytest.raises(ValueError):
         space_timesteps(10, [9, 9])  # section larger than its span
+
+
+def test_space_timesteps_karras():
+    """Karras rho=7 sigma spacing (arXiv:2206.00364): endpoints exact,
+    kept steps denser at the low-noise (low-t) end than uniform."""
+    sched = NoiseSchedule.create(diffusion_steps=1000, mode="linear")
+    kept = space_timesteps(1000, "karras50", alphas_hat=sched.alphas_hat)
+    assert kept[0] == 1 and kept[-1] == 1000
+    assert 2 < len(kept) <= 50
+    assert kept == sorted(set(kept))
+    # reproduce the formula directly for the snapped grid
+    sig = np.sqrt((1.0 - sched.alphas_hat) / sched.alphas_hat)
+    rho, n = 7.0, 50
+    ramp = np.linspace(0, 1, n)
+    grid = (sig[-1] ** (1 / rho)
+            + ramp * (sig[0] ** (1 / rho) - sig[-1] ** (1 / rho))) ** rho
+    snap = np.abs(np.log(sig)[None, :] - np.log(grid)[:, None]).argmin(1)
+    assert kept == sorted(set(int(i) + 1 for i in snap))
+    # needs the schedule's sigmas
+    with pytest.raises(ValueError, match="alphas_hat"):
+        space_timesteps(1000, "karras50")
+
+
+def test_karras_respaced_chain_runs():
+    """karrasN composes with respaced_schedule + the DDIM loop."""
+    sched = NoiseSchedule.create(diffusion_steps=T, mode="cosine")
+    kept = space_timesteps(T, "karras6", alphas_hat=sched.alphas_hat)
+    new_sched, tmap = respaced_schedule(sched, kept)
+    tables = DiffusionTables.from_schedule(new_sched)
+
+    def apply_fn(params, x, t, y=None, **kw):
+        return 0.1 * x
+
+    out = ddim_sample_loop(
+        apply_fn, None, tables,
+        jnp.ones((2, 8, 8, 1)), timestep_map=jnp.asarray(tmap),
+    )
+    assert out.shape == (2, 8, 8, 1) and np.isfinite(np.asarray(out)).all()
