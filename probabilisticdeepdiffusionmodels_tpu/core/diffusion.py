@@ -36,6 +36,7 @@ __all__ = [
     "model_mean_from_epsilon",
     "v_target",
     "eps_from_v",
+    "eps_from_xstart",
     "min_snr_weight",
     "p_step",
     "mean_flat",
@@ -265,6 +266,17 @@ def eps_from_v(tables: DiffusionTables, x_t: jax.Array, t: jax.Array,
     return a * v + s * x_t
 
 
+def eps_from_xstart(tables: DiffusionTables, x_t: jax.Array, t: jax.Array,
+                    x0: jax.Array) -> jax.Array:
+    """Invert the x0-parameterization given the noised input:
+    eps = (x_t - sqrt(ab_t)*x0) / sqrt(1-ab_t) (the algebraic inverse of
+    xstart_from_epsilon; x0-prediction is the improved-diffusion
+    ``predict_xstart`` option the reference's upstream exposes)."""
+    a = expand_to(tables.alphas_hat_sqrt, t, x_t.ndim)
+    s = expand_to(tables.one_min_alphas_hat_sqrt, t, x_t.ndim)
+    return (x_t - a * x0) / s
+
+
 def min_snr_weight(tables: DiffusionTables, t: jax.Array, gamma: float,
                    prediction_type: str = "epsilon") -> jax.Array:
     """Min-SNR-gamma per-sample loss weight (Hang et al., arXiv:2303.09556
@@ -283,6 +295,8 @@ def min_snr_weight(tables: DiffusionTables, t: jax.Array, gamma: float,
         return clamped / snr
     if prediction_type == "v":
         return clamped / (snr + 1.0)
+    if prediction_type == "x0":
+        return clamped  # the weight is defined in x0-space (eq. 13)
     raise ValueError(f'Unknown prediction_type: "{prediction_type}"')
 
 

@@ -44,6 +44,7 @@ from .sample.sampler import (
     inpaint_sample_loop,
     make_cfg_apply_fn,
     make_v_to_eps_apply_fn,
+    make_x0_to_eps_apply_fn,
     p_sample_loop,
     respaced_schedule,
     space_timesteps,
@@ -319,14 +320,19 @@ class DiffusionEngine:
             self._apply_raw = lambda params, x, t, y=None, **kw: self.model.apply(
                 {"params": params}, x, t, y, **kw
             )
-        # prediction_type="v" (arXiv:2202.00512, beyond the reference):
-        # training regresses v; every inference consumer (samplers, NLL,
-        # FID, guidance) sees the eps-view wrapper so nothing else changes.
-        if prediction_type not in ("epsilon", "v"):
+        # prediction_type="v" (arXiv:2202.00512) / "x0" (improved-diffusion
+        # predict_xstart), beyond the reference: training regresses the
+        # chosen target; every inference consumer (samplers, NLL, FID,
+        # guidance) sees the eps-view wrapper so nothing else changes.
+        if prediction_type not in ("epsilon", "v", "x0"):
             raise ValueError(f'Unknown prediction_type: "{prediction_type}"')
         self.prediction_type = prediction_type
         if prediction_type == "v":
             self._apply = make_v_to_eps_apply_fn(self._apply_raw, self.tables)
+        elif prediction_type == "x0":
+            self._apply = make_x0_to_eps_apply_fn(
+                self._apply_raw, self.tables
+            )
         else:
             self._apply = self._apply_raw
         self._sample_jits: Dict[Any, Any] = {}

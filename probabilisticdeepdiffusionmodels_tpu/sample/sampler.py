@@ -43,16 +43,17 @@ __all__ = [
     "inpaint_sample_loop",
     "make_cfg_apply_fn",
     "make_v_to_eps_apply_fn",
+    "make_x0_to_eps_apply_fn",
     "space_timesteps",
     "respaced_schedule",
 ]
 
 
-def make_v_to_eps_apply_fn(apply_fn, tables: DiffusionTables):
-    """Eps-view of a v-parameterized model (Salimans & Ho,
-    arXiv:2202.00512): wraps ``apply_fn`` so its v output is converted to
-    eps per call — every downstream consumer (all three sampling loops,
-    the NLL evaluator, FID, CFG guidance) then works unchanged.
+def _make_to_eps_apply_fn(apply_fn, tables: DiffusionTables, convert):
+    """Shared eps-view wrapper: ``convert(tables, x, t, head)`` maps the
+    model's native prediction head to eps per call, so every downstream
+    consumer (all sampling loops, the NLL evaluator, FID, CFG guidance)
+    works unchanged.
 
     ``tables`` must be the FULL-schedule tables: the wrapper sees
     original-unit timesteps (the loops apply ``timestep_map`` before the
@@ -71,16 +72,29 @@ def make_v_to_eps_apply_fn(apply_fn, tables: DiffusionTables):
             out, cache = out
         c = x.shape[-1]
         if out.shape[-1] == 2 * c:
-            v_head, var_head = jnp.split(out, 2, axis=-1)
-            eps = D.eps_from_v(tables, x.astype(v_head.dtype), t, v_head)
+            head, var_head = jnp.split(out, 2, axis=-1)
+            eps = convert(tables, x.astype(head.dtype), t, head)
             out = jnp.concatenate([eps, var_head], axis=-1)
         else:
-            out = D.eps_from_v(tables, x.astype(out.dtype), t, out)
+            out = convert(tables, x.astype(out.dtype), t, out)
         if kwargs.get("return_cache"):
             return out, cache
         return out
 
     return eps_apply
+
+
+def make_v_to_eps_apply_fn(apply_fn, tables: DiffusionTables):
+    """Eps-view of a v-parameterized model (Salimans & Ho,
+    arXiv:2202.00512) — see _make_to_eps_apply_fn for the contract."""
+    return _make_to_eps_apply_fn(apply_fn, tables, D.eps_from_v)
+
+
+def make_x0_to_eps_apply_fn(apply_fn, tables: DiffusionTables):
+    """Eps-view of an x0-parameterized model (improved-diffusion's
+    ``predict_xstart`` option, the reference's upstream) — see
+    _make_to_eps_apply_fn for the contract."""
+    return _make_to_eps_apply_fn(apply_fn, tables, D.eps_from_xstart)
 
 
 def make_cfg_apply_fn(apply_fn, guidance_scale: float, null_class: int,

@@ -71,6 +71,25 @@ def _vlb_term(tables, params, apply_fn, x0, x_t, t, eps_pred, v_pred):
     return jnp.where(t == 1, decoder_nll, kl)
 
 
+def _pred_target(tables, prediction_type, x0, noise, t):
+    """Training target per parameterization: eps (reference), v
+    (arXiv:2202.00512), or x0 (improved-diffusion ``predict_xstart``)."""
+    if prediction_type == "epsilon":
+        return noise
+    if prediction_type == "v":
+        return D.v_target(tables, x0, noise, t)
+    return x0  # "x0" (validated by the callers)
+
+
+def _pred_to_eps(tables, prediction_type, x_t, t, pred):
+    """Convert a native prediction head to eps (for the vlb term)."""
+    if prediction_type == "epsilon":
+        return pred
+    if prediction_type == "v":
+        return D.eps_from_v(tables, x_t, t, pred)
+    return D.eps_from_xstart(tables, x_t, t, pred)
+
+
 def make_train_step(
     apply_fn: Callable,
     tables: DiffusionTables,
@@ -98,11 +117,11 @@ def make_train_step(
     row) with probability p, so one model learns both the conditional and
     the unconditional score.  Requires labels every step.
 
-    ``prediction_type``: "epsilon" (reference semantics) or "v"
-    (arXiv:2202.00512) — the model regresses
-    v = sqrt(ab)*eps - sqrt(1-ab)*x0 instead of eps (an SNR-dependent loss
-    reweighting; inference converts back via
-    sample.make_v_to_eps_apply_fn).
+    ``prediction_type``: "epsilon" (reference semantics), "v"
+    (arXiv:2202.00512: regress v = sqrt(ab)*eps - sqrt(1-ab)*x0), or "x0"
+    (improved-diffusion ``predict_xstart``: regress the clean image) —
+    each an SNR-dependent loss reweighting; inference converts back via
+    sample.make_{v,x0}_to_eps_apply_fn.
 
     ``loss_weighting``: "none" (reference semantics) or "min_snr"
     (arXiv:2303.09556) — multiply the per-sample MSE by the clamped-SNR
@@ -116,7 +135,7 @@ def make_train_step(
     if class_dropout_prob and null_class is None:
         raise ValueError("class_dropout_prob needs null_class (the index "
                          "of the model's cfg_null_class embedding row)")
-    if prediction_type not in ("epsilon", "v"):
+    if prediction_type not in ("epsilon", "v", "x0"):
         raise ValueError(f'Unknown prediction_type: "{prediction_type}"')
     if loss_weighting not in ("none", "min_snr"):
         raise ValueError(f'Unknown loss_weighting: "{loss_weighting}"')
@@ -140,10 +159,7 @@ def make_train_step(
 
         noise = jax.random.normal(key_noise, x0.shape, x0.dtype)
         x_t = D.q_sample(tables, x0, noise, t)
-        target = (
-            noise if prediction_type == "epsilon"
-            else D.v_target(tables, x0, noise, t)
-        )
+        target = _pred_target(tables, prediction_type, x0, noise, t)
 
         def loss_fn(params):
             kwargs = dict(rngs={"dropout": key_drop}, train=True) if dropout else {}
@@ -163,11 +179,10 @@ def make_train_step(
                 loss = jnp.mean(per_sample)           # engine.py:276-277
             aux = {"mse_per_sample": per_sample}
             if loss_type == "hybrid":
-                # the vlb term is eps-parameterized; under "v" the model's
-                # first head is v and must be converted for the posterior
-                vlb_eps = (
-                    eps_pred if prediction_type == "epsilon"
-                    else D.eps_from_v(tables, x_t, t, eps_pred)
+                # the vlb term is eps-parameterized; under "v"/"x0" the
+                # model's first head must be converted for the posterior
+                vlb_eps = _pred_to_eps(
+                    tables, prediction_type, x_t, t, eps_pred
                 )
                 vlb = _vlb_term(tables, params, apply_fn, x0, x_t, t, vlb_eps, v_pred)
                 loss = loss + vlb_weight * jnp.mean(vlb)
@@ -215,16 +230,15 @@ def make_eval_step(
     the train step so val_loss stays comparable (early stopping / best-k
     checkpointing monitor it)."""
     T = tables.diffusion_steps
+    if prediction_type not in ("epsilon", "v", "x0"):
+        raise ValueError(f'Unknown prediction_type: "{prediction_type}"')
 
     def step(params, rng: jax.Array, x0: jax.Array, y=None):
         key_t, key_noise = jax.random.split(rng)
         t, _ = sample_uniform(key_t, x0.shape[0], T)
         noise = jax.random.normal(key_noise, x0.shape, x0.dtype)
         x_t = D.q_sample(tables, x0, noise, t)
-        target = (
-            noise if prediction_type == "epsilon"
-            else D.v_target(tables, x0, noise, t)
-        )
+        target = _pred_target(tables, prediction_type, x0, noise, t)
         out = apply_fn(params, x_t, t, y)
         pred = (
             jnp.split(out, 2, axis=-1)[0] if out.shape[-1] == 2 * x0.shape[-1] else out

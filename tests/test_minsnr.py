@@ -37,10 +37,12 @@ def test_weight_formula_golden(tables):
     gamma = 5.0
     w_eps = np.asarray(D.min_snr_weight(tables, t, gamma, "epsilon"))
     w_v = np.asarray(D.min_snr_weight(tables, t, gamma, "v"))
+    w_x0 = np.asarray(D.min_snr_weight(tables, t, gamma, "x0"))
     np.testing.assert_allclose(w_eps, np.minimum(snr, gamma) / snr,
                                rtol=1e-5)
     np.testing.assert_allclose(w_v, np.minimum(snr, gamma) / (snr + 1.0),
                                rtol=1e-5)
+    np.testing.assert_allclose(w_x0, np.minimum(snr, gamma), rtol=1e-5)
     # clamp only bites where SNR > gamma (early chain / low t)
     assert (w_eps <= 1.0 + 1e-6).all()
     assert w_eps[np.argmax(snr)] < 1.0
@@ -50,7 +52,7 @@ def test_weight_formula_golden(tables):
 def test_weight_validates_prediction_type(tables):
     t = jnp.asarray([1], jnp.int32)
     with pytest.raises(ValueError, match="prediction_type"):
-        D.min_snr_weight(tables, t, 5.0, "x0")
+        D.min_snr_weight(tables, t, 5.0, "score")
 
 
 MODEL_CFG = dict(

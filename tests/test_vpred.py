@@ -140,4 +140,61 @@ def test_v_loss_differs_from_eps_loss():
 
 def test_prediction_type_validated():
     with pytest.raises(ValueError, match="prediction_type"):
-        make_engine(prediction_type="x0")
+        make_engine(prediction_type="score")
+
+
+# ---- x0-prediction (improved-diffusion predict_xstart) -------------------
+
+
+def test_x0_roundtrip_identity(tables):
+    """eps_from_xstart inverts xstart_from_epsilon exactly."""
+    key = jax.random.PRNGKey(11)
+    x0 = jax.random.normal(key, (4, 8, 8, 3))
+    noise = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    t = jnp.asarray([1, 4, 8, 12], jnp.int32)
+    x_t = D.q_sample(tables, x0, noise, t)
+    eps = D.eps_from_xstart(tables, x_t, t, x0)
+    np.testing.assert_allclose(np.asarray(eps), np.asarray(noise),
+                               rtol=0, atol=2e-5)
+
+
+def test_x0_eps_view_matches_eps_model(tables):
+    """An x0-model algebraically derived from an eps-model, through the
+    x0 eps-view wrapper, reproduces the eps-model's trajectory."""
+    from probabilisticdeepdiffusionmodels_tpu.sample import (
+        make_x0_to_eps_apply_fn,
+    )
+
+    def eps_model(params, x, t, y=None, **kw):
+        return jnp.tanh(x) * (1.0 + 0.1 * t.astype(x.dtype).reshape(
+            (-1,) + (1,) * (x.ndim - 1)))
+
+    def x0_model(params, x, t, y=None, **kw):
+        eps = eps_model(params, x, t, y, **kw)
+        return D.xstart_from_epsilon(tables, x, t, eps)
+
+    key = jax.random.PRNGKey(3)
+    x_T = jax.random.normal(key, (4, 8, 8, 1))
+    out_eps = p_sample_loop(eps_model, {}, tables, x_T, key, clip=True)
+    out_x0 = p_sample_loop(
+        make_x0_to_eps_apply_fn(x0_model, tables), {}, tables, x_T, key,
+        clip=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_x0), np.asarray(out_eps),
+                               rtol=0, atol=1e-4)
+
+
+def test_engine_x0_trains_and_samples():
+    eng = make_engine(prediction_type="x0")
+    x = jax.random.normal(jax.random.PRNGKey(7), (4, 8, 8, 1))
+    losses = [float(eng.training_step(x)["loss"]) for _ in range(8)]
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
+    val = eng.validation_step(x)
+    assert np.isfinite(val["val_loss"])
+    imgs = eng.generate_images(n=2, minibatch=2, seed=1)
+    assert imgs.shape == (2, 8, 8, 1) and np.isfinite(imgs).all()
+    ddim = eng.generate_images(n=2, minibatch=2, seed=1, num_sample_steps=6,
+                               ddim=True)
+    assert np.isfinite(ddim).all()
+    nll = eng.calculate_likelihood(x, seed=0)
+    assert np.isfinite(np.asarray(nll["nll"])).all()
