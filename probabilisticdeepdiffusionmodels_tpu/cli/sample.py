@@ -161,6 +161,51 @@ def run_sampling(cfg) -> None:
         plt.close(fig)
         print(f"[sample] wrote {path}")
 
+    if cfg.get("inpaint", False):
+        # RePaint inpainting panel (beyond the reference): mask val images
+        # and fill the hidden region conditioned on the rest
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        _, val_loader = build_loaders(run_cfg)
+        x0 = np.asarray(next(iter(val_loader))[0][: int(cfg.get("n_images", 4))])
+        res = x0.shape[1]
+        spec = cfg.get("inpaint_mask", "right_half")
+        mask = np.zeros((res, res, 1), np.float32)
+        if spec == "right_half":
+            mask[:, : res // 2] = 1.0
+        elif spec == "bottom_half":
+            mask[: res // 2] = 1.0
+        elif spec == "center_box":
+            q = res // 4
+            mask[:] = 1.0
+            mask[q : res - q, q : res - q] = 0.0
+        else:
+            raise ValueError(f"unknown inpaint_mask: {spec!r} (right_half | "
+                             "bottom_half | center_box)")
+        out = np.asarray(engine.inpaint(
+            x0, mask, seed=int(cfg.get("seed", 0) or 0),
+            use_ema=cfg.get("use_ema", True),
+            num_sample_steps=cfg.get("num_sample_steps"),
+            resample_steps=int(cfg.get("resample_steps", 1)),
+        ))
+        masked = x0 * mask + (-1.0) * (1 - mask)
+        k = len(x0)
+        fig, axes = plt.subplots(3, k, figsize=(2 * k, 6.4))
+        axes = np.atleast_2d(axes)
+        for j in range(k):
+            for i, img in enumerate((x0[j], masked[j], out[j])):
+                _grid(axes[i, j], _to_img(img, normalize))
+        for i, name in enumerate(("original", "masked", "inpainted")):
+            axes[i, 0].set_ylabel(name, fontsize=9)
+            axes[i, 0].set_axis_on()
+            axes[i, 0].set_xticks([]); axes[i, 0].set_yticks([])
+        path = media_dir / f"inpaint_{spec}.png"
+        fig.savefig(path, bbox_inches="tight", dpi=120)
+        plt.close(fig)
+        print(f"[sample] wrote {path}")
+
     if cfg.get("detailed_viz", False):
         run_detailed_viz(
             engine, run_cfg, media_dir, normalize, n_images=cfg.get("n_images", 4)

@@ -150,3 +150,22 @@ def test_superres_cli_smoke(tmp_path):
     ])
     assert np.isfinite(result["best_val_loss"])
     assert np.isfinite(result["test_nll"])
+
+
+def test_sample_cli_inpaint_and_fast_grid(trained_run):
+    """The sample CLI surface (reference scripts/sample.py): fast-sampler
+    grid + the beyond-reference RePaint inpainting panel."""
+    out_dir, result = trained_run
+    run_dir = Path(result["run_dir"])
+    from probabilisticdeepdiffusionmodels_tpu.cli.sample import (
+        main as sample_main,
+    )
+
+    sample_main([
+        f"run_dir={run_dir}", "regular_viz=false", "n_images=2",
+        "n_random=2", "sampler=ddim", "num_sample_steps=6",
+        "inpaint=true", "inpaint_mask=center_box", "resample_steps=2",
+    ])
+    media = run_dir / "media"
+    assert (media / "inpaint_center_box.png").exists()
+    assert (media / "fast_ddim_6.png").exists()
