@@ -39,6 +39,7 @@ from .parallel.mesh import (
     spatial_sharding,
 )
 from .sample.sampler import (
+    ddim_invert_loop,
     ddim_sample_loop,
     dpmpp_sample_loop,
     inpaint_sample_loop,
@@ -514,6 +515,7 @@ class DiffusionEngine:
             loop = {
                 "p": p_sample_loop,
                 "ddim": ddim_sample_loop,
+                "ddim_invert": ddim_invert_loop,
                 "dpmpp": dpmpp_sample_loop,
                 "inpaint": inpaint_sample_loop,
             }[loop_name]
@@ -532,6 +534,13 @@ class DiffusionEngine:
                         apply_fn, params, tables, x_t, key, y=y,
                         timestep_map=timestep_map, x0_known=x0_known,
                         mask=mask, **static_kw,
+                    )
+            elif loop_name == "ddim_invert":
+                # deterministic: no PRNG key in the loop signature
+                def run(params, tables, x_t, key, y, timestep_map):
+                    return loop(
+                        apply_fn, params, tables, x_t, y=y,
+                        timestep_map=timestep_map, **static_kw,
                     )
             else:
                 def run(params, tables, x_t, key, y, timestep_map):
@@ -801,6 +810,24 @@ class DiffusionEngine:
         )
         recon = fn(self.params(use_ema), self.tables, x_t, kloop, None, None)
         return recon, x_t
+
+    def ddim_invert(self, x0, use_ema=True, y=None, num_sample_steps=None,
+                    t_end=None):
+        """Deterministic DDIM encoding x0 -> x_{t_end} along the
+        probability-flow ODE (sample.ddim_invert_loop; beyond the
+        reference, whose only encoder is the stochastic
+        get_noised_representation).  The result reconstructs x0 through
+        the eta=0 DDIM chain up to ODE discretization error.  ``t_end``
+        (respaced units when num_sample_steps is set) defaults to the full
+        chain; prefer a partial encode for editing pipelines (see the loop
+        docstring's conditioning note)."""
+        tables, tmap, _ = self._sample_tables(num_sample_steps)
+        fn = self._sample_jit(
+            "ddim_invert",
+            **({"t_end": int(t_end)} if t_end is not None else {}),
+        )
+        return fn(self.params(use_ema), tables, jnp.asarray(x0), None, y,
+                  tmap)
 
     def inpaint(self, x0, mask, seed=None, use_ema=True, y=None,
                 num_sample_steps=None, resample_steps=1, key=None):

@@ -1,4 +1,5 @@
 from .sampler import (
+    ddim_invert_loop,
     ddim_sample_loop,
     dpmpp_sample_loop,
     inpaint_sample_loop,

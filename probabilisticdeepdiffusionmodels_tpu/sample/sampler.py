@@ -39,6 +39,7 @@ from ..core.schedules import NoiseSchedule
 __all__ = [
     "p_sample_loop",
     "ddim_sample_loop",
+    "ddim_invert_loop",
     "dpmpp_sample_loop",
     "inpaint_sample_loop",
     "make_cfg_apply_fn",
@@ -806,4 +807,52 @@ def inpaint_sample_loop(
         return x, None
 
     x_final, _ = jax.lax.scan(body, x_t, jnp.arange(T, 0, -1))
+    return x_final
+
+
+def ddim_invert_loop(
+    apply_fn: Callable,
+    params,
+    tables: DiffusionTables,
+    x0: jax.Array,
+    *,
+    t_end: Optional[int] = None,
+    y: Optional[jax.Array] = None,
+    timestep_map: Optional[jax.Array] = None,
+):
+    """Deterministic DDIM inversion (encoding): x_0 -> x_T along the
+    probability-flow ODE — beyond the reference, whose only encoder is the
+    stochastic q_sample (get_noised_representation, src/engine.py:604-615).
+
+    Scan ascending t = 1..t_end; the step to level t inverts the eta=0
+    DDIM update algebraically, with eps evaluated at the TARGET timestep t
+    on the source state:
+
+        x0_implied = (x_{t-1} - sqrt(1-ab_{t-1}) eps) / sqrt(ab_{t-1})
+        x_t        = sqrt(ab_t) x0_implied + sqrt(1-ab_t) eps
+
+    so for an x-independent eps the roundtrip invert->ddim_sample(eta=0)
+    is EXACT; for a real model the error is the usual O(1/steps) ODE
+    discretization mismatch.  No x0-clipping (clipping is not invertible).
+    Composes with respaced chains via ``timestep_map``; returns x_{t_end}.
+
+    Conditioning note: the backward x0-recovery divides by sqrt(ab_t), so
+    roundtrips through t with ab_t ~ 0 amplify any eps inconsistency by
+    1/sqrt(ab_t) — fine for a trained (self-consistent) model, but prefer
+    ``t_end`` < T for editing pipelines, exactly as SDEdit/RePaint do.
+    """
+    T = t_end if t_end is not None else tables.diffusion_steps
+    b = x0.shape[0]
+    ndim = x0.ndim
+
+    def body(x, t_step):
+        t = jnp.full((b,), t_step, dtype=jnp.int32)
+        eps, _ = _model_eps(apply_fn, params, tables, x, t, y, timestep_map)
+        abar = D.expand_to(tables.alphas_hat, t, ndim)
+        abar_prev = D.expand_to(tables.alphas_hat_prev, t, ndim)
+        x0_implied = (x - jnp.sqrt(1.0 - abar_prev) * eps) / jnp.sqrt(abar_prev)
+        x_next = jnp.sqrt(abar) * x0_implied + jnp.sqrt(1.0 - abar) * eps
+        return x_next, None
+
+    x_final, _ = jax.lax.scan(body, x0, jnp.arange(1, T + 1))
     return x_final
