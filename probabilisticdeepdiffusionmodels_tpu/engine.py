@@ -822,12 +822,14 @@ class DiffusionEngine:
         chain; prefer a partial encode for editing pipelines (see the loop
         docstring's conditioning note)."""
         tables, tmap, _ = self._sample_tables(num_sample_steps)
+        x0 = jnp.asarray(x0)
+        if self.mesh is not None:
+            x0 = jax.device_put(x0, data_sharding(self.mesh, x0.ndim))
         fn = self._sample_jit(
             "ddim_invert",
             **({"t_end": int(t_end)} if t_end is not None else {}),
         )
-        return fn(self.params(use_ema), tables, jnp.asarray(x0), None, y,
-                  tmap)
+        return fn(self.params(use_ema), tables, x0, None, y, tmap)
 
     def inpaint(self, x0, mask, seed=None, use_ema=True, y=None,
                 num_sample_steps=None, resample_steps=1, key=None):
@@ -844,6 +846,13 @@ class DiffusionEngine:
         knoise, kloop = jax.random.split(key)
         tables, tmap, _ = self._sample_tables(num_sample_steps)
         x_t = jax.random.normal(knoise, x0.shape, jnp.float32)
+        if self.mesh is not None:
+            # explicit placement (a mesh must be a pure layout change; the
+            # batchless mask is replicated)
+            sh = data_sharding(self.mesh, x0.ndim)
+            x0 = jax.device_put(x0, sh)
+            x_t = jax.device_put(x_t, sh)
+            mask = jax.device_put(mask, replicated(self.mesh))
         fn = self._sample_jit(
             "inpaint", sigma_mode=self.sigma_mode,
             clip=self.clip_while_generating,

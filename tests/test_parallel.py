@@ -376,3 +376,18 @@ def test_fsdp_sharding_policy():
     assert shardings["odd"].spec == P()
     assert shardings["bias"].spec == P()
     assert shardings["scalar"].spec == P()
+
+
+def test_engine_mesh_inpaint_and_invert_match_single_device():
+    """The round-3 endpoints (RePaint inpainting, DDIM inversion) are pure
+    layout changes under the data mesh, like every other sampler."""
+    e1 = _make_engine(None)
+    e8 = _make_engine(make_mesh(8))
+    x0 = jax.random.normal(jax.random.PRNGKey(5), (8, 8, 8, 1))
+    mask = jnp.zeros((8, 8, 1)).at[:, :4].set(1.0)
+    a = np.asarray(e1.inpaint(x0, mask, seed=3))
+    b = np.asarray(e8.inpaint(x0, mask, seed=3))
+    np.testing.assert_allclose(b, a, rtol=2e-6, atol=2e-6)
+    za = np.asarray(e1.ddim_invert(x0, t_end=5))
+    zb = np.asarray(e8.ddim_invert(x0, t_end=5))
+    np.testing.assert_allclose(zb, za, rtol=2e-6, atol=2e-6)
