@@ -832,14 +832,17 @@ class DiffusionEngine:
         return fn(self.params(use_ema), tables, x0, None, y, tmap)
 
     def inpaint(self, x0, mask, seed=None, use_ema=True, y=None,
-                num_sample_steps=None, resample_steps=1, key=None):
+                num_sample_steps=None, resample_steps=1, key=None,
+                guidance_scale=None, guidance_interval=None):
         """RePaint-style inpainting (arXiv:2201.09865, beyond the
         reference): fill the ``mask == 0`` region of ``x0`` conditioned on
         the rest.  ``mask`` broadcasts to x0's shape (1 = keep).
         ``resample_steps`` R > 1 harmonizes each step R times (R model
         calls/step); ``num_sample_steps`` accepts the same respacing specs
-        as generate_images.  Returns images with the known region equal to
-        x0 exactly."""
+        as generate_images; ``guidance_scale``/``guidance_interval``
+        compose classifier-free guidance exactly as in generate_images
+        (requires labels ``y``).  Returns images with the known region
+        equal to x0 exactly."""
         x0 = jnp.asarray(x0)
         mask = jnp.asarray(mask)
         key = key if key is not None else jax.random.PRNGKey(seed or 0)
@@ -853,8 +856,13 @@ class DiffusionEngine:
             x0 = jax.device_put(x0, sh)
             x_t = jax.device_put(x_t, sh)
             mask = jax.device_put(mask, replicated(self.mesh))
+        if guidance_scale is not None:
+            assert y is not None, "guidance_scale requires labels y"
+            y = jnp.asarray(y)
         fn = self._sample_jit(
-            "inpaint", sigma_mode=self.sigma_mode,
+            "inpaint", cfg_scale=guidance_scale,
+            cfg_interval=guidance_interval,
+            sigma_mode=self.sigma_mode,
             clip=self.clip_while_generating,
             resample_steps=int(resample_steps),
         )

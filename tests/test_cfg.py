@@ -354,3 +354,27 @@ def test_guidance_interval_respaced_units():
         guidance_scale=5.0, guidance_interval=(T + 1, T + 5),
     )
     np.testing.assert_allclose(plain, nothing, rtol=0, atol=1e-5)
+
+
+def test_cfg_composes_with_inpaint():
+    """guidance_scale on the inpaint endpoint: known region stays exact,
+    the fill reacts to the guidance scale."""
+    eng = make_engine(class_dropout_prob=0.2)
+    eng.state = eng.state.replace(
+        params=_unzero_params(eng.state.params),
+        ema_params=_unzero_params(eng.state.ema_params),
+    )
+    x0 = batch(4)
+    mask = jnp.zeros((8, 8, 1)).at[:, :4].set(1.0)
+    y = jnp.asarray([0, 1, 2, 3])
+    m = np.broadcast_to(np.asarray(mask), x0.shape).astype(bool)
+    base = np.asarray(eng.inpaint(x0, mask, seed=3, y=y))
+    guided = np.asarray(
+        eng.inpaint(x0, mask, seed=3, y=y, guidance_scale=3.0)
+    )
+    for out in (base, guided):
+        np.testing.assert_array_equal(out[m], np.asarray(x0)[m])
+        assert np.isfinite(out).all()
+    assert not np.array_equal(base, guided)
+    with pytest.raises(AssertionError, match="labels"):
+        eng.inpaint(x0, mask, seed=3, guidance_scale=3.0)
