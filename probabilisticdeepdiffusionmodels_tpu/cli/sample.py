@@ -169,7 +169,22 @@ def run_sampling(cfg) -> None:
         import matplotlib.pyplot as plt
 
         _, val_loader = build_loaders(run_cfg)
-        x0 = np.asarray(next(iter(val_loader))[0][: int(cfg.get("n_images", 4))])
+        vb = next(iter(val_loader))
+        n_img = int(cfg.get("n_images", 4))
+        x0 = np.asarray(vb[0][:n_img])
+        # guided inpainting when requested and the model is conditional:
+        # condition on the val images' own labels
+        ip_kwargs = {}
+        gs = cfg.get("guidance_scale")
+        if gs is not None:
+            assert getattr(engine.model, "num_classes", None), (
+                "guidance_scale needs a class-conditional model"
+            )
+            assert len(vb) > 1 and vb[1] is not None, (
+                "guidance_scale inpainting needs labeled val data"
+            )
+            ip_kwargs = dict(guidance_scale=float(gs),
+                             y=np.asarray(vb[1][:n_img]))
         res = x0.shape[1]
         spec = cfg.get("inpaint_mask", "right_half")
         mask = np.zeros((res, res, 1), np.float32)
@@ -189,6 +204,7 @@ def run_sampling(cfg) -> None:
             use_ema=cfg.get("use_ema", True),
             num_sample_steps=cfg.get("num_sample_steps"),
             resample_steps=int(cfg.get("resample_steps", 1)),
+            **ip_kwargs,
         ))
         masked = x0 * mask + (-1.0) * (1 - mask)
         k = len(x0)
