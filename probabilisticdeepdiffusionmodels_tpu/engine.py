@@ -141,6 +141,7 @@ class DiffusionEngine:
         beta_end: Optional[float] = None,
         mode: str = "linear",
         max_beta: float = 0.999,
+        betas: Optional[Any] = None,
         sigma_mode: str = "beta",
         resolution: int = 32,
         clip_while_generating: bool = False,
@@ -177,6 +178,7 @@ class DiffusionEngine:
             beta_end=beta_end,
             mode=mode,
             max_beta=max_beta,
+            betas=(None if betas is None else [float(b) for b in betas]),
             sigma_mode=sigma_mode,
             resolution=resolution,
             clip_while_generating=clip_while_generating,
@@ -235,12 +237,16 @@ class DiffusionEngine:
         self.model = get_model(resolution, mc)
         self.in_channels = in_channels or getattr(self.model, "in_channels", 3)
 
+        # explicit betas (e.g. a respaced table for a distilled student)
+        # take precedence over the named ramps; they round-trip through
+        # hparams so checkpoint rebuilds reconstruct the same chain
         self.schedule = NoiseSchedule.create(
             diffusion_steps=diffusion_steps,
             mode=mode,
             beta_start=beta_start,
             beta_end=beta_end,
             max_beta=max_beta,
+            betas=betas,
         )
         self.tables = DiffusionTables.from_schedule(self.schedule)
 
