@@ -1,1 +1,2 @@
 from .nll import calculate_likelihood
+from .prd import knn_precision_recall

@@ -168,17 +168,33 @@ def main():
     perm = rng.permutation(len(data))
     half = len(data) // 2
     f_data = features(data[perm[:half]])
-    floor = frechet(f_data, features(data[perm[half:]]))
+    f_data2 = features(data[perm[half:]])
+    floor = frechet(f_data, f_data2)
 
-    out = {"n_samples": n, "dataset_split_half_floor": round(floor, 4)}
+    from probabilisticdeepdiffusionmodels_tpu.evals import (
+        knn_precision_recall,
+    )
+
+    pr_floor = knn_precision_recall(f_data, f_data2)
+    out = {
+        "n_samples": n,
+        "dataset_split_half_floor": round(floor, 4),
+        "split_half_precision_recall": {
+            k: round(v, 4) for k, v in pr_floor.items()
+        },
+    }
     for name, kw in configs:
         s = np.asarray(
             engine.generate_images(n=n, minibatch=n, seed=123, **kw)
         )
         assert np.isfinite(s).all(), f"non-finite at {name}"
-        d = frechet(f_data, features(s))
+        f_s = features(s)
+        d = frechet(f_data, f_s)
+        pr = knn_precision_recall(f_data, f_s)
         out[name] = {"frechet_to_data": round(d, 4),
-                     "std": round(float(s.std()), 5)}
+                     "std": round(float(s.std()), 5),
+                     "precision": round(pr["precision"], 4),
+                     "recall": round(pr["recall"], 4)}
         print(name, out[name], flush=True)
 
     dest = Path("docs/results")
