@@ -169,3 +169,22 @@ def test_sample_cli_inpaint_and_fast_grid(trained_run):
     media = run_dir / "media"
     assert (media / "inpaint_center_box.png").exists()
     assert (media / "fast_ddim_6.png").exists()
+
+
+def test_profile_cli(trained_run):
+    """cli.profile writes an XLA trace dir + timings for a trained run
+    (the observability surface; SURVEY §5.1)."""
+    out_dir, result = trained_run
+    run_dir = Path(result["run_dir"])
+    from probabilisticdeepdiffusionmodels_tpu.cli.profile import (
+        main as profile_main,
+    )
+
+    t = profile_main([f"run_dir={run_dir}", "steps=2", "sample_steps=4",
+                      "batch_size=2"])
+    assert np.isfinite(t["train_step_ms"]) and t["train_img_per_sec"] > 0
+    assert t["sample_img_per_sec"] > 0
+    prof = run_dir / "profile"
+    assert (prof / "timings.json").exists()
+    assert any((prof / "train_trace").rglob("*"))
+    assert any((prof / "sample_trace").rglob("*"))
