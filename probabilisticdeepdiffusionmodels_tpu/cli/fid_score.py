@@ -43,12 +43,17 @@ def main(argv=None):
     normalize = (run_cfg["data"].get("transformation_kwargs") or {}).get("normalize")
 
     t0 = time.perf_counter()
-    fid = compute_fid_from_engine(
+    m = compute_fid_from_engine(
         engine, val_loader, n_samples=n_samples, normalize=normalize,
-        num_sample_steps=num_steps,
+        num_sample_steps=num_steps, with_precision_recall=True,
     )
     wall = time.perf_counter() - t0
+    fid = m["fid"]
     print(f"FID: {fid} (run={run_dir} clip={clip} n={n_samples})")
+    print(
+        f"precision: {m['precision']:.4f}  recall: {m['recall']:.4f} "
+        "(improved P&R, arXiv:1904.06991)"
+    )
     # full-pipeline timing (sampling + inception features + moments) so the
     # 10k dress-rehearsal run records its cost (VERDICT r2 next #6)
     print(

@@ -202,10 +202,20 @@ def compute_fid_from_engine(
     seed: int = 0,
     num_sample_steps: Optional[int] = None,
     ddim: bool = False,
-) -> float:
+    with_precision_recall: bool = False,
+    pr_limit: int = 4096,
+):
     """Sample from the model and score against the dataloader's reals
     (reference compute_FID_score, src/modules/fid_score.py:57-72; sampling
-    n=10000 at minibatch 256 as scripts/fid_score.py does)."""
+    n=10000 at minibatch 256 as scripts/fid_score.py does).
+
+    ``with_precision_recall`` additionally computes improved precision &
+    recall (arXiv:1904.06991, evals/prd.py) on a subsample of up to
+    ``pr_limit`` feature rows per side and returns a dict
+    {"fid", "precision", "recall"} instead of the bare float.  The P&R
+    features are an explicit extra forward on the subsampled batches
+    (bounded by pr_limit), keeping the streaming moment path — which under
+    a mesh never materializes features on the host — untouched."""
     inception_params = (
         inception_params if inception_params is not None else load_params()
     )
@@ -227,16 +237,39 @@ def compute_fid_from_engine(
             # fid_score.py:19-22)
             yield unnormalize(imgs, normalize=normalize, clip=True)
 
+    fake_gen = fake_batches()
+    real_gen = _real_batches(dataloader, normalize, real_limit)
+    buckets = {"fake": [], "real": []}
+    if with_precision_recall:
+        def tee(gen, name):
+            count = 0
+            for b in gen:
+                if count < pr_limit:
+                    take = np.asarray(b)[: pr_limit - count]
+                    buckets[name].append(
+                        np.asarray(feat(jnp.asarray(take, jnp.float32)))
+                    )
+                    count += len(take)
+                yield b
+
+        fake_gen = tee(fake_gen, "fake")
+        real_gen = tee(real_gen, "real")
+
     # when the engine carries a mesh the whole pipeline is sharded: sampling
     # (engine.generate_images shards x_T over the data axis) AND the feature
     # statistics (MeshActivationStats) — nothing but the final moments and
     # the minibatch handoff touches the host
-    mu_f, cov_f = compute_statistics(fake_batches(), feature_fn=feat, mesh=mesh)
-    mu_r, cov_r = compute_statistics(
-        _real_batches(dataloader, normalize, real_limit), feature_fn=feat,
-        mesh=mesh,
+    mu_f, cov_f = compute_statistics(fake_gen, feature_fn=feat, mesh=mesh)
+    mu_r, cov_r = compute_statistics(real_gen, feature_fn=feat, mesh=mesh)
+    fid = frechet_distance(mu_f, cov_f, mu_r, cov_r)
+    if not with_precision_recall:
+        return fid
+    from .prd import knn_precision_recall
+
+    pr = knn_precision_recall(
+        np.concatenate(buckets["real"]), np.concatenate(buckets["fake"])
     )
-    return frechet_distance(mu_f, cov_f, mu_r, cov_r)
+    return {"fid": fid, **pr}
 
 
 def compute_fid_for_loaders(

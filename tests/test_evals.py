@@ -292,3 +292,55 @@ def test_fid_from_engine_uses_engine_mesh():
                 real_limit=16,
             ))
     np.testing.assert_allclose(fids[1], fids[0], rtol=1e-4, atol=1e-7)
+
+
+def test_fid_with_precision_recall_dict():
+    """with_precision_recall=True returns {fid, precision, recall} using
+    a feature subsample tee'd off the streaming moment path."""
+    import jax
+    import jax.numpy as jnp
+
+    from probabilisticdeepdiffusionmodels_tpu.evals.fid import (
+        compute_fid_from_engine,
+    )
+    from probabilisticdeepdiffusionmodels_tpu.engine import DiffusionEngine
+
+    eng = DiffusionEngine(
+        model_config=dict(
+            name="unet", in_channels=1, model_channels=16, num_res_blocks=1,
+            attention_resolutions=[], channel_mult=[1, 2], num_heads=1,
+        ),
+        optimizer_config={"lr": 1e-3}, diffusion_steps=8, mode="cosine",
+        resolution=8, seed=0,
+    )
+    rng = np.random.default_rng(0)
+    reals = [
+        (rng.normal(size=(8, 8, 8, 1)).astype(np.float32), None)
+        for _ in range(2)
+    ]
+
+    def feat(x01):
+        # tiny feature: channel mean/std + 2 moments per image
+        f = jnp.stack([
+            x01.mean(axis=(1, 2, 3)), x01.std(axis=(1, 2, 3)),
+            jnp.abs(x01).mean(axis=(1, 2, 3)),
+            (x01 ** 2).mean(axis=(1, 2, 3)),
+        ], axis=1)
+        return f
+
+    import probabilisticdeepdiffusionmodels_tpu.evals.fid as fidmod
+
+    # custom feature fn via the (module-private) maker, so the test needs
+    # no inception weights
+    orig = fidmod._make_feature_fn
+    fidmod._make_feature_fn = lambda p: feat
+    try:
+        m = fidmod.compute_fid_from_engine(
+            eng, reals, n_samples=16, minibatch=8, normalize="mnist",
+            inception_params={}, with_precision_recall=True, pr_limit=12,
+        )
+    finally:
+        fidmod._make_feature_fn = orig
+    assert set(m) == {"fid", "precision", "recall"}
+    assert np.isfinite(m["fid"])
+    assert 0.0 <= m["precision"] <= 1.0 and 0.0 <= m["recall"] <= 1.0
