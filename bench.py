@@ -1,7 +1,7 @@
 """Headline benchmark: sampler images/sec/chip, 250-step DDPM, CIFAR UNet.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
-"encoder_reuse_k", "encoder_reuse_img_per_sec"}.
+"encoder_reuse_k", "encoder_reuse_img_per_sec", "dpmpp10_img_per_sec"}.
 
 ``value`` is the EXACT 250-step ancestral sampler (comparable across
 rounds: BENCH_r01 measured the same thing), and the approximate
@@ -159,6 +159,31 @@ def main(
         exact = _measure(make_sampler(1), params, x_T, key, batch, n_rep)
         reuse = _measure(make_sampler(ENCODER_REUSE), params, x_T, key,
                          batch, n_rep)
+        # the fast-sampler headline: DPM-Solver++(2M) at 10 steps — the
+        # measured quality-flat ODE-limit config (docs/RESULTS.md: Frechet
+        # ~1.05 from 10 to 1000 steps on the trained flagship)
+        from probabilisticdeepdiffusionmodels_tpu.sample import (
+            dpmpp_sample_loop,
+        )
+
+        n_fast = max(2, min(10, steps))
+        fast_tables = DiffusionTables.from_schedule(
+            respaced_schedule(
+                sched, space_timesteps(diffusion_steps, n_fast)
+            )[0]
+        )
+        fast_tmap = jnp.asarray(
+            space_timesteps(diffusion_steps, n_fast), jnp.int32
+        )
+
+        @jax.jit
+        def dpmpp(params, x_T, key):
+            return dpmpp_sample_loop(
+                apply_fn, params, fast_tables, x_T, clip=True,
+                timestep_map=fast_tmap,
+            )
+
+        fast = _measure(dpmpp, params, x_T, key, batch, n_rep)
         result = {
             "metric": "sampler_images_per_sec_per_chip_250step_ddpm_cifar_unet",
             "value": round(exact, 2),
@@ -166,6 +191,7 @@ def main(
             "vs_baseline": round(exact / REFERENCE_IMG_PER_SEC, 2),
             "encoder_reuse_k": ENCODER_REUSE,
             "encoder_reuse_img_per_sec": round(reuse, 2),
+            f"dpmpp{n_fast}_img_per_sec": round(fast, 2),
         }
     print(json.dumps(result))
     return result

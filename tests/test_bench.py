@@ -29,6 +29,8 @@ def test_bench_main_smoke(capsys):
     # (VERDICT r2 weak #1)
     assert result["encoder_reuse_k"] == 3
     assert result["encoder_reuse_img_per_sec"] > 0
+    # the fast-sampler headline rides alongside (dpmpp at min(10, steps))
+    assert result["dpmpp4_img_per_sec"] > 0
     out = capsys.readouterr().out.strip().splitlines()[-1]
     assert out.startswith("{") and '"metric"' in out  # ONE JSON line
 
