@@ -213,3 +213,36 @@ def test_distill_cli_end_to_end(tmp_path):
     assert student.diffusion_steps == 3
     imgs = student.generate_images(n=2, minibatch=2, seed=0)
     assert np.isfinite(np.asarray(imgs)).all()
+
+
+def test_distill_step_is_pure_layout_change_on_mesh():
+    """The distillation step under a data mesh (sharded batch, replicated
+    student state + teacher params) computes the same loss and updates as
+    single-device — distillation is training, production runs it DP."""
+    from probabilisticdeepdiffusionmodels_tpu.parallel import (
+        data_sharding,
+        make_mesh,
+        replicated,
+    )
+
+    teacher = make_teacher()
+    s1 = halved_student(teacher, lr=2e-3)
+    step = jax.jit(make_distill_step(
+        s1._apply_raw, teacher._apply, s1.tables, teacher.tables
+    ))
+    x0 = jax.random.normal(jax.random.PRNGKey(7), (16, 8, 8, 1))
+    tp = teacher.params(use_ema=True)
+    st1, m1 = step(s1.state, x0, tp)
+
+    mesh = make_mesh(8)
+    s8 = halved_student(teacher, lr=2e-3)
+    st8, m8 = step(
+        jax.device_put(s8.state, replicated(mesh)),
+        jax.device_put(x0, data_sharding(mesh, x0.ndim)),
+        jax.device_put(tp, replicated(mesh)),
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-4)
