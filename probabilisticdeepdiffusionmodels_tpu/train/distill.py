@@ -52,6 +52,12 @@ def halved_student(teacher, lr: float = None, ema: float = 0.995,
 
     T = teacher.diffusion_steps
     assert T % 2 == 0 and T >= 2, f"cannot halve T={T}"
+    if getattr(teacher.model, "num_classes", None):
+        raise NotImplementedError(
+            "progressive distillation of class-conditional models is not "
+            "wired (the distill step does not thread labels through the "
+            "teacher/student forwards yet)"
+        )
     kept = list(range(2, T + 1, 2))
     sub_sched, _ = respaced_schedule(teacher.schedule, kept)
 

@@ -246,3 +246,11 @@ def test_distill_step_is_pure_layout_change_on_mesh():
     for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-4)
+
+
+def test_conditional_teacher_rejected():
+    teacher = make_teacher(model_config=dict(
+        MODEL_CFG, num_classes=4, use_scale_shift_norm=True,
+    ))
+    with pytest.raises(NotImplementedError, match="conditional"):
+        halved_student(teacher)
