@@ -68,15 +68,20 @@ def run_distillation(cfg) -> dict:
         print(f"[distill] round {r + 1}/{rounds}: T {teacher.diffusion_steps}"
               f" -> {T_s}, {epochs} epochs -> {run.path}")
 
+        cond = bool(getattr(teacher.model, "num_classes", None))
+
         def batches():
             for _ in range(epochs):
-                for x0, _y in train_loader:
-                    yield x0
+                for x0, y in train_loader:
+                    # labels thread only into conditional models (an
+                    # unconditional UNet rejects y)
+                    yield x0, (y if cond else None)
 
         last = distill_round(
             student, teacher, batches(),
             log_every=int(cfg.get("log_every", 50)),
             log=lambda m: print(m, flush=True),
+            guidance_scale=cfg.get("guidance_scale"),
         )
         logger.log(last, step=int(student.state.step))
 
@@ -89,10 +94,10 @@ def run_distillation(cfg) -> dict:
         # final_test.json)
         limit = int(cfg.get("limit_test_batches", 4))
         nlls = []
-        for i, (x, _y) in enumerate(val_loader):
+        for i, (x, y) in enumerate(val_loader):
             if i >= limit:
                 break
-            m = student.test_step(x, seed=i)
+            m = student.test_step(x, seed=i, y=y)
             nlls.append(m)
         test = {k: float(np.mean([m[k] for m in nlls])) for k in nlls[0]}
         (run.path / "final_test.json").write_text(

@@ -35,7 +35,7 @@ from ..core.diffusion import DiffusionTables
 from .samplers import sample_uniform
 from .state import TrainState
 
-__all__ = ["halved_student", "make_distill_step"]
+__all__ = ["halved_student", "make_distill_step", "distill_round"]
 
 
 def halved_student(teacher, lr: float = None, ema: float = 0.995,
@@ -52,12 +52,6 @@ def halved_student(teacher, lr: float = None, ema: float = 0.995,
 
     T = teacher.diffusion_steps
     assert T % 2 == 0 and T >= 2, f"cannot halve T={T}"
-    if getattr(teacher.model, "num_classes", None):
-        raise NotImplementedError(
-            "progressive distillation of class-conditional models is not "
-            "wired (the distill step does not thread labels through the "
-            "teacher/student forwards yet)"
-        )
     kept = list(range(2, T + 1, 2))
     sub_sched, _ = respaced_schedule(teacher.schedule, kept)
 
@@ -128,7 +122,7 @@ def make_distill_step(
         a_prev = D.expand_to(teacher_tables.alphas_hat_prev, t, x.ndim)
         return jnp.sqrt(a_prev) * x0 + jnp.sqrt(1.0 - a_prev) * eps
 
-    def step(state: TrainState, x0: jax.Array, teacher_params):
+    def step(state: TrainState, x0: jax.Array, teacher_params, y=None):
         rng = jax.random.fold_in(state.rng, state.step)
         key_t, key_noise = jax.random.split(rng)
         b = x0.shape[0]
@@ -136,11 +130,15 @@ def make_distill_step(
         noise = jax.random.normal(key_noise, x0.shape, x0.dtype)
         z = D.q_sample(student_tables, x0, noise, t_s)
 
-        # two teacher DDIM steps (teacher units t_hi = 2 t_s)
+        # two teacher DDIM steps (teacher units t_hi = 2 t_s); class
+        # labels thread through both forwards, so conditional teachers
+        # distill into conditional students — and a CFG-wrapped
+        # teacher_apply_eps distills GUIDED sampling into one plain
+        # forward (Meng et al., arXiv:2210.03142, fixed-w variant)
         t_hi = 2 * t_s
-        eps1 = teacher_apply_eps(teacher_params, z, t_hi, None)
+        eps1 = teacher_apply_eps(teacher_params, z, t_hi, y)
         z1 = ddim_step(z, t_hi, eps1)
-        eps2 = teacher_apply_eps(teacher_params, z1, t_hi - 1, None)
+        eps2 = teacher_apply_eps(teacher_params, z1, t_hi - 1, y)
         z2 = ddim_step(z1, t_hi - 1, eps2)
         z2 = jax.lax.stop_gradient(z2)
 
@@ -156,7 +154,7 @@ def make_distill_step(
         v_star = (a_t * z - x0_star) / s_t
 
         def loss_fn(params):
-            v_pred = student_apply_raw(params, z, t_s, None)
+            v_pred = student_apply_raw(params, z, t_s, y)
             per_sample = D.mean_flat(jnp.square(v_star - v_pred))
             return jnp.mean(per_sample), per_sample
 
@@ -177,21 +175,42 @@ def make_distill_step(
 
 
 def distill_round(student, teacher, batches, log_every: int = 50,
-                  log=print) -> Dict:
+                  log=print, guidance_scale=None) -> Dict:
     """Drive one halving round: train ``student`` to mimic two-step
-    ``teacher`` over an iterable of x0 batches.  Small host loop around
-    one jitted step (teacher params passed as a traced arg — resident in
-    HBM once, never retraced)."""
+    ``teacher`` over an iterable of x0 (or (x0, y)) batches.  Small host
+    loop around one jitted step (teacher params passed as a traced arg —
+    resident in HBM once, never retraced).
+
+    ``guidance_scale`` distills CLASSIFIER-FREE-GUIDED teacher sampling at
+    a fixed scale w into the student's single forward (Meng et al.,
+    arXiv:2210.03142, fixed-w variant): the teacher's two DDIM steps run
+    through make_cfg_apply_fn, so the student learns the guided score.
+    Requires a class-conditional teacher trained with a cfg_null_class
+    row, and labeled batches."""
+    teacher_apply = teacher._apply
+    if guidance_scale is not None:
+        from ..sample.sampler import make_cfg_apply_fn
+
+        teacher_apply = make_cfg_apply_fn(
+            teacher_apply, float(guidance_scale), teacher.model.num_classes
+        )
     step = jax.jit(make_distill_step(
-        student._apply_raw, teacher._apply,
+        student._apply_raw, teacher_apply,
         student.tables, teacher.tables,
     ), donate_argnums=(0,))
     tp = teacher.params(use_ema=True)
     state = student.state
     last = {}
-    for i, x0 in enumerate(batches):
+    for i, batch in enumerate(batches):
+        if isinstance(batch, (tuple, list)):
+            x0, y = batch
+            y = jnp.asarray(np.asarray(y)) if y is not None else None
+        else:
+            x0, y = batch, None
+        if guidance_scale is not None:
+            assert y is not None, "guided distillation needs labels"
         x0 = jnp.asarray(np.asarray(x0))
-        state, metrics = step(state, x0, tp)
+        state, metrics = step(state, x0, tp, y)
         if log_every and (i % log_every == 0):
             log(f"[distill] step {i} loss={float(metrics['loss']):.5f}")
         last = metrics

@@ -248,9 +248,27 @@ def test_distill_step_is_pure_layout_change_on_mesh():
                                    rtol=2e-4, atol=1e-4)
 
 
-def test_conditional_teacher_rejected():
+def test_conditional_and_guided_distillation():
+    """Labels thread through teacher and student forwards; a CFG-wrapped
+    teacher distills guided sampling into the student's single forward
+    (arXiv:2210.03142, fixed-w)."""
     teacher = make_teacher(model_config=dict(
-        MODEL_CFG, num_classes=4, use_scale_shift_norm=True,
+        MODEL_CFG, num_classes=4, cfg_null_class=True,
+        use_scale_shift_norm=True,
     ))
-    with pytest.raises(NotImplementedError, match="conditional"):
-        halved_student(teacher)
+    x0 = jax.random.normal(jax.random.PRNGKey(7), (8, 8, 8, 1))
+    y = jnp.arange(8, dtype=jnp.int32) % 4
+
+    student = halved_student(teacher, lr=2e-3)
+    distill_round(student, teacher, [(x0, y)] * 4, log_every=0)
+    imgs = student.generate_images(n=4, minibatch=4, seed=1, y=y[:4])
+    assert np.isfinite(np.asarray(imgs)).all()
+
+    guided = halved_student(teacher, lr=2e-3)
+    distill_round(guided, teacher, [(x0, y)] * 4, log_every=0,
+                  guidance_scale=2.0)
+    gimgs = guided.generate_images(n=4, minibatch=4, seed=1, y=y[:4])
+    assert np.isfinite(np.asarray(gimgs)).all()
+
+    with pytest.raises(AssertionError, match="labels"):
+        distill_round(guided, teacher, [(x0, None)], guidance_scale=2.0)
