@@ -102,3 +102,19 @@ def test_engine_inpaint_endpoint():
     n_jits = len(eng._sample_jits)
     _ = eng.inpaint(x0, mask, seed=4)
     assert len(eng._sample_jits) == n_jits
+
+
+def test_channel_mask_colorization_style(tables):
+    """mask broadcasts over channels too: keeping one channel and filling
+    the rest is channel-completion (colorization-style conditioning)."""
+    key = jax.random.PRNGKey(9)
+    x0 = jax.random.normal(key, (2, 8, 8, 3))
+    mask = jnp.asarray([1.0, 0.0, 0.0])[None, None, :]  # keep channel 0
+    x_t = jax.random.normal(jax.random.fold_in(key, 1), x0.shape)
+    out = np.asarray(inpaint_sample_loop(
+        toy_apply, None, tables, x_t, jax.random.PRNGKey(3),
+        x0_known=x0, mask=mask,
+    ))
+    np.testing.assert_array_equal(out[..., 0], np.asarray(x0)[..., 0])
+    assert np.abs(out[..., 1:] - np.asarray(x0)[..., 1:]).max() > 0.1
+    assert np.isfinite(out).all()
