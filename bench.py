@@ -167,14 +167,11 @@ def main(
         )
 
         n_fast = max(2, min(10, steps))
-        fast_tables = DiffusionTables.from_schedule(
-            respaced_schedule(
-                sched, space_timesteps(diffusion_steps, n_fast)
-            )[0]
+        fast_sched, fast_tmap = respaced_schedule(
+            sched, space_timesteps(diffusion_steps, n_fast)
         )
-        fast_tmap = jnp.asarray(
-            space_timesteps(diffusion_steps, n_fast), jnp.int32
-        )
+        fast_tables = DiffusionTables.from_schedule(fast_sched)
+        fast_tmap = jnp.asarray(fast_tmap)
 
         @jax.jit
         def dpmpp(params, x_T, key):

@@ -4,7 +4,10 @@ Reference surface: scripts/fid_score.py:31-71 (argv: run id + clip flag;
 samples 10k images, scores against the val split) — here:
 
     python -m probabilisticdeepdiffusionmodels_tpu.cli.fid_score \
-        <run_dir> <clip: true|false> [n_samples] [num_sample_steps] [devices]
+        <run_dir> <clip: true|false> [n_samples] [num_sample_steps] [devices] [pr]
+
+``pr`` (true|false, default true) toggles the improved precision & recall
+computation (a bounded extra feature pass, evals/prd.py).
 
 ``devices`` (int or "all") builds a data mesh so the 10k-sample generation
 is batch-sharded over the slice (VERDICT r2 next #1).
@@ -35,6 +38,7 @@ def main(argv=None):
     n_samples = int(argv[2]) if len(argv) > 2 else 10000
     num_steps = int(argv[3]) if len(argv) > 3 else None
     devices = argv[4] if len(argv) > 4 else None
+    with_pr = (argv[5].lower() == "true") if len(argv) > 5 else True
 
     engine, run_cfg = load_engine_from_run(
         run_dir, clip_while_generating=clip, devices=devices
@@ -45,15 +49,16 @@ def main(argv=None):
     t0 = time.perf_counter()
     m = compute_fid_from_engine(
         engine, val_loader, n_samples=n_samples, normalize=normalize,
-        num_sample_steps=num_steps, with_precision_recall=True,
+        num_sample_steps=num_steps, with_precision_recall=with_pr,
     )
     wall = time.perf_counter() - t0
-    fid = m["fid"]
+    fid = m["fid"] if with_pr else m
     print(f"FID: {fid} (run={run_dir} clip={clip} n={n_samples})")
-    print(
-        f"precision: {m['precision']:.4f}  recall: {m['recall']:.4f} "
-        "(improved P&R, arXiv:1904.06991)"
-    )
+    if with_pr:
+        print(
+            f"precision: {m['precision']:.4f}  recall: {m['recall']:.4f} "
+            "(improved P&R, arXiv:1904.06991)"
+        )
     # full-pipeline timing (sampling + inception features + moments) so the
     # 10k dress-rehearsal run records its cost (VERDICT r2 next #6)
     print(

@@ -2,15 +2,13 @@
 thop FLOP hook — src/modules/unet.py:258-279).
 
 Captures a TensorBoard-loadable XLA trace of the training step and/or the
-sampling chain of a trained run (or a fresh engine from config groups),
-plus wall-clock timings and the analytic FLOP/MFU estimate from
-utils.profiling:
+sampling chain of a trained run, plus wall-clock timings and the analytic
+FLOP/MFU estimate from utils.profiling:
 
     python -m probabilisticdeepdiffusionmodels_tpu.cli.profile \
         run_dir=runs/<name> steps=5 sample_steps=50
 
-Writes <run_dir>/profile/ (or out_dir/profile-<ts>) with the trace
-directory and a timings.json.
+Writes <run_dir>/profile/ with the trace directories and a timings.json.
 """
 
 from __future__ import annotations
@@ -58,10 +56,10 @@ def run_profile(cfg) -> dict:
     except (KeyError, TypeError):
         pass
 
-    # warm the jits OUTSIDE the trace so it records steady-state programs,
-    # not compilation
-    engine.training_step(x)
     if steps:
+        # warm the jit OUTSIDE the trace so it records steady-state
+        # programs, not compilation
+        engine.training_step(x)
         t0 = time.perf_counter()
         with trace(str(out / "train_trace")):
             for _ in range(steps):

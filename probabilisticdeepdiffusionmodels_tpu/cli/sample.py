@@ -185,6 +185,13 @@ def run_sampling(cfg) -> None:
             )
             ip_kwargs = dict(guidance_scale=float(gs),
                              y=np.asarray(vb[1][:n_img]))
+            gi = cfg.get("guidance_interval")
+            if gi is not None:
+                lo, hi = (
+                    (int(v) for v in gi.split(","))
+                    if isinstance(gi, str) else gi
+                )
+                ip_kwargs["guidance_interval"] = (int(lo), int(hi))
         res = x0.shape[1]
         spec = cfg.get("inpaint_mask", "right_half")
         mask = np.zeros((res, res, 1), np.float32)
@@ -209,7 +216,7 @@ def run_sampling(cfg) -> None:
         masked = x0 * mask + (-1.0) * (1 - mask)
         k = len(x0)
         fig, axes = plt.subplots(3, k, figsize=(2 * k, 6.4))
-        axes = np.atleast_2d(axes)
+        axes = np.asarray(axes).reshape(3, k)  # (3,) for k=1 otherwise
         for j in range(k):
             for i, img in enumerate((x0[j], masked[j], out[j])):
                 _grid(axes[i, j], _to_img(img, normalize))

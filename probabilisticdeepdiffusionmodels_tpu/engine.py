@@ -477,6 +477,28 @@ class DiffusionEngine:
 
     # ------------ sampling endpoints (reference engine.py:510-657)
 
+    def _validate_cfg(self, guidance_scale, guidance_interval, y):
+        """Shared classifier-free-guidance preconditions (generate_images
+        and inpaint): a cfg_null_class row must exist — without it the
+        null-half gather would silently clamp to the last REAL class
+        inside jit — and labels must be present."""
+        if guidance_scale is not None:
+            if self.cond_kind != "class" or not getattr(
+                self.model, "cfg_null_class", False
+            ):
+                raise ValueError(
+                    "guidance_scale requires a class-conditional model with "
+                    "cfg_null_class=True (train it with class_dropout_prob)"
+                )
+            if y is None:
+                raise ValueError("guidance_scale requires class labels y")
+        if guidance_interval is not None:
+            if guidance_scale is None:
+                raise ValueError("guidance_interval needs guidance_scale")
+            lo, hi = guidance_interval
+            guidance_interval = (int(lo), int(hi))
+        return guidance_interval
+
     def _sample_tables(self, num_sample_steps=None):
         """Tables + timestep map for full or strided sampling.
 
@@ -623,21 +645,10 @@ class DiffusionEngine:
         the seed-drawn x_T (the per-step z stream still comes from seed), so
         callers can replay or perturb a specific chain."""
         tables, tmap, _ = self._sample_tables(num_sample_steps)
-        if guidance_scale is not None:
-            if self.cond_kind != "class" or not getattr(
-                self.model, "cfg_null_class", False
-            ):
-                raise ValueError(
-                    "guidance_scale requires a class-conditional model with "
-                    "cfg_null_class=True (train it with class_dropout_prob)"
-                )
-            if y is None:
-                raise ValueError("guidance_scale requires class labels y")
+        guidance_interval = self._validate_cfg(
+            guidance_scale, guidance_interval, y
+        )
         if guidance_interval is not None:
-            if guidance_scale is None:
-                raise ValueError("guidance_interval needs guidance_scale")
-            lo, hi = guidance_interval
-            guidance_interval = (int(lo), int(hi))
             if (encoder_reuse or self.encoder_reuse) > 1:
                 raise ValueError(
                     "guidance_interval does not compose with encoder_reuse "
@@ -827,7 +838,14 @@ class DiffusionEngine:
         (respaced units when num_sample_steps is set) defaults to the full
         chain; prefer a partial encode for editing pipelines (see the loop
         docstring's conditioning note)."""
-        tables, tmap, _ = self._sample_tables(num_sample_steps)
+        tables, tmap, n_steps = self._sample_tables(num_sample_steps)
+        if t_end is not None and not (1 <= int(t_end) <= n_steps):
+            # out-of-range t would silently clamp inside jit gathers and
+            # return a finite-but-meaningless latent
+            raise ValueError(
+                f"t_end={t_end} outside the chain (1..{n_steps}"
+                + (" respaced units)" if tmap is not None else ")")
+            )
         x0 = jnp.asarray(x0)
         if self.mesh is not None:
             x0 = jax.device_put(x0, data_sharding(self.mesh, x0.ndim))
@@ -862,8 +880,10 @@ class DiffusionEngine:
             x0 = jax.device_put(x0, sh)
             x_t = jax.device_put(x_t, sh)
             mask = jax.device_put(mask, replicated(self.mesh))
+        guidance_interval = self._validate_cfg(
+            guidance_scale, guidance_interval, y
+        )
         if guidance_scale is not None:
-            assert y is not None, "guidance_scale requires labels y"
             y = jnp.asarray(y)
         fn = self._sample_jit(
             "inpaint", cfg_scale=guidance_scale,

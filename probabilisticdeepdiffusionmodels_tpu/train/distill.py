@@ -52,6 +52,14 @@ def halved_student(teacher, lr: float = None, ema: float = 0.995,
 
     T = teacher.diffusion_steps
     assert T % 2 == 0 and T >= 2, f"cannot halve T={T}"
+    if dict(teacher.hparams["model_config"]).get("learn_sigma") or \
+            teacher.hparams.get("loss_type") == "hybrid":
+        raise NotImplementedError(
+            "distilling a learned-sigma (hybrid) teacher is not defined "
+            "here: the student regresses a v-space mean target only, and "
+            "warm-starting its C-channel head from a 2C-channel teacher "
+            "conv is shape-incompatible.  Distill an eps/v/x0 teacher."
+        )
     kept = list(range(2, T + 1, 2))
     sub_sched, _ = respaced_schedule(teacher.schedule, kept)
 
@@ -135,11 +143,17 @@ def make_distill_step(
         # distill into conditional students — and a CFG-wrapped
         # teacher_apply_eps distills GUIDED sampling into one plain
         # forward (Meng et al., arXiv:2210.03142, fixed-w variant)
+        c = x0.shape[-1]
+
+        def teacher_eps(x, t):
+            out = teacher_apply_eps(teacher_params, x, t, y)
+            # a learned-sigma teacher emits [eps | var-interp]; the DDIM
+            # steps need only the mean head
+            return out[..., :c] if out.shape[-1] == 2 * c else out
+
         t_hi = 2 * t_s
-        eps1 = teacher_apply_eps(teacher_params, z, t_hi, y)
-        z1 = ddim_step(z, t_hi, eps1)
-        eps2 = teacher_apply_eps(teacher_params, z1, t_hi - 1, y)
-        z2 = ddim_step(z1, t_hi - 1, eps2)
+        z1 = ddim_step(z, t_hi, teacher_eps(z, t_hi))
+        z2 = ddim_step(z1, t_hi - 1, teacher_eps(z1, t_hi - 1))
         z2 = jax.lax.stop_gradient(z2)
 
         # implied one-step student target (student units)
@@ -189,6 +203,12 @@ def distill_round(student, teacher, batches, log_every: int = 50,
     row, and labeled batches."""
     teacher_apply = teacher._apply
     if guidance_scale is not None:
+        if not getattr(teacher.model, "cfg_null_class", False):
+            raise ValueError(
+                "guided distillation needs a teacher trained with "
+                "cfg_null_class=True (otherwise the null-half gather "
+                "silently clamps to the last real class inside jit)"
+            )
         from ..sample.sampler import make_cfg_apply_fn
 
         teacher_apply = make_cfg_apply_fn(

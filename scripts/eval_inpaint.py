@@ -95,7 +95,7 @@ def main():
     import matplotlib.pyplot as plt
 
     k = min(8, n)
-    fig, axes = plt.subplots(3, k, figsize=(2 * k, 6))
+    fig, axes = plt.subplots(3, k, figsize=(2 * k, 6), squeeze=False)
     masked = x0 * mask + (-1.0) * (1 - mask)
     for j in range(k):
         for i, (img, name) in enumerate(

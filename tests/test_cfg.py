@@ -376,5 +376,5 @@ def test_cfg_composes_with_inpaint():
         np.testing.assert_array_equal(out[m], np.asarray(x0)[m])
         assert np.isfinite(out).all()
     assert not np.array_equal(base, guided)
-    with pytest.raises(AssertionError, match="labels"):
+    with pytest.raises(ValueError, match="labels"):
         eng.inpaint(x0, mask, seed=3, guidance_scale=3.0)
