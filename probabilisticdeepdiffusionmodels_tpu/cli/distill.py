@@ -43,9 +43,11 @@ def run_distillation(cfg) -> dict:
 
     base_name = str(cfg["run_dir"]).rstrip("/").rsplit("/", 1)[-1]
     for r in range(rounds):
+        use_ema_teacher = bool(cfg.get("use_ema_teacher", True))
         student = halved_student(
             teacher, lr=(float(lr) if lr else None),
             ema=float(cfg.get("ema", 0.995)),
+            use_ema_teacher=use_ema_teacher,
         )
         T_s = student.diffusion_steps
         run = RunDir(out_dir, f"{base_name}_distillT{T_s}")
@@ -82,6 +84,7 @@ def run_distillation(cfg) -> dict:
             log_every=int(cfg.get("log_every", 50)),
             log=lambda m: print(m, flush=True),
             guidance_scale=cfg.get("guidance_scale"),
+            use_ema_teacher=use_ema_teacher,
         )
         logger.log(last, step=int(student.state.step))
 

@@ -56,14 +56,25 @@ def run_profile(cfg) -> dict:
     except (KeyError, TypeError):
         pass
 
+    # conditional runs need a conditioning batch or engine._cond raises:
+    # synthesize zero labels (class) / a downsampled batch (superres)
+    y = None
+    if engine.cond_kind == "class":
+        y = np.zeros((b,), np.int64)
+    elif engine.cond_kind == "superres":
+        low = max(1, res // 2)
+        y = np.random.default_rng(1).normal(
+            size=(b, *(low,) * engine.dims, engine.in_channels)
+        ).astype(np.float32)
+
     if steps:
         # warm the jit OUTSIDE the trace so it records steady-state
         # programs, not compilation
-        engine.training_step(x)
+        engine.training_step(x, y)
         t0 = time.perf_counter()
         with trace(str(out / "train_trace")):
             for _ in range(steps):
-                m = engine.training_step(x)
+                m = engine.training_step(x, y)
             jax.block_until_ready(m["loss"])
         dt = time.perf_counter() - t0
         timings["train_step_ms"] = round(1e3 * dt / steps, 3)
@@ -71,11 +82,11 @@ def run_profile(cfg) -> dict:
 
     if sample_steps is not None:
         engine.generate_images(n=b, minibatch=b, seed=0,
-                               num_sample_steps=sample_steps)
+                               num_sample_steps=sample_steps, y=y)
         t0 = time.perf_counter()
         with trace(str(out / "sample_trace")):
             imgs = engine.generate_images(
-                n=b, minibatch=b, seed=1, num_sample_steps=sample_steps
+                n=b, minibatch=b, seed=1, num_sample_steps=sample_steps, y=y
             )
             jax.block_until_ready(imgs)
         dt = time.perf_counter() - t0

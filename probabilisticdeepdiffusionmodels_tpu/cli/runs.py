@@ -8,6 +8,8 @@ surface is preserved.
 
     python -m probabilisticdeepdiffusionmodels_tpu.cli.runs list [out_dir]
     python -m probabilisticdeepdiffusionmodels_tpu.cli.runs show <run> [out_dir]
+    python -m probabilisticdeepdiffusionmodels_tpu.cli.runs pull \
+        <entity/project/run_id> [out_dir]   # W&B-mirrored run -> local store
 """
 
 from __future__ import annotations
@@ -73,6 +75,13 @@ def main(argv=None):
         run = argv[1]
         out_dir = argv[2] if len(argv) > 2 else "./runs"
         print(json.dumps(_last_metrics(run, out_dir), indent=2, default=str))
+    elif cmd == "pull":
+        # restore a W&B-mirrored run into the local store (the reference's
+        # wandb_util download path; logging/remote.py)
+        from ..logging.remote import fetch_run
+
+        dest = fetch_run(argv[1], argv[2] if len(argv) > 2 else "./runs")
+        print(f"[runs] pulled -> {dest}")
     else:
         print(__doc__)
         return 1

@@ -424,16 +424,22 @@ class DiffusionEngine:
             return None
         return jnp.asarray(y)
 
+    def _check_mesh_batch(self, batch_size: int, hint: str) -> None:
+        """Raise a readable error before device_put turns a non-divisible
+        batch into an opaque XLA sharding failure (ADVICE r3)."""
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            if batch_size % n_dev:
+                raise ValueError(
+                    f"batch size {batch_size} must be divisible by the "
+                    f"mesh's {n_dev} devices (got trainer.devices={n_dev}; "
+                    f"{hint})"
+                )
+
     def training_step(self, x: jax.Array, y: Optional[jax.Array] = None):
         y = self._cond(y)
         if self.mesh is not None:
-            n_dev = self.mesh.devices.size
-            if x.shape[0] % n_dev:
-                raise ValueError(
-                    f"batch size {x.shape[0]} must be divisible by the "
-                    f"mesh's {n_dev} devices (got trainer.devices={n_dev}; "
-                    "adjust data.batch_size)"
-                )
+            self._check_mesh_batch(x.shape[0], "adjust data.batch_size")
             x = shard_batch(self.mesh, x)
             if y is not None:
                 y = shard_batch(self.mesh, y)
@@ -708,16 +714,25 @@ class DiffusionEngine:
                         "encoder_reuse>1 requires a UNet-family model "
                         "(the encoder cache is a UNet concept)"
                     )
+            # per-call knobs override engine-level ones with `is not None`
+            # semantics everywhere (an explicit 0/0.0 clears an engine-level
+            # knob on every sampler path, matching the ancestral branch)
+            _ovr = lambda call, engine: call if call is not None else engine
+            knobs = dict(
+                reuse_exact_head=_ovr(reuse_exact_head, self.reuse_exact_head),
+                reuse_exact_tail=_ovr(reuse_exact_tail, self.reuse_exact_tail),
+                reuse_sigma_boost=_ovr(
+                    reuse_sigma_boost, self.reuse_sigma_boost
+                ),
+                reuse_prior_noise=_ovr(
+                    reuse_prior_noise, self.reuse_prior_noise
+                ),
+            )
             if dpm_solver:
                 if ddim:
                     raise ValueError("pass either ddim=True or dpm_solver="
                                      "True, not both")
-                if reuse > 1 or any((
-                    reuse_exact_head or self.reuse_exact_head,
-                    reuse_exact_tail or self.reuse_exact_tail,
-                    reuse_sigma_boost or self.reuse_sigma_boost,
-                    reuse_prior_noise or self.reuse_prior_noise,
-                )):
+                if reuse > 1 or any(knobs.values()):
                     raise ValueError(
                         "encoder_reuse / reuse calibration knobs are not "
                         "supported on the DPM-Solver++ path (deterministic "
@@ -731,16 +746,8 @@ class DiffusionEngine:
                     order=int(dpm_order),
                 )
             elif ddim:
-                knobs = dict(
-                    reuse_exact_head=reuse_exact_head or self.reuse_exact_head,
-                    reuse_exact_tail=reuse_exact_tail or self.reuse_exact_tail,
-                    reuse_sigma_boost=reuse_sigma_boost or self.reuse_sigma_boost,
-                    reuse_prior_noise=reuse_prior_noise or self.reuse_prior_noise,
-                    reuse_cache_middle=(
-                        reuse_cache_middle
-                        if reuse_cache_middle is not None
-                        else self.reuse_cache_middle
-                    ),
+                knobs["reuse_cache_middle"] = _ovr(
+                    reuse_cache_middle, self.reuse_cache_middle
                 )
                 active = {k: v for k, v in knobs.items() if v}
                 if active:
@@ -766,25 +773,16 @@ class DiffusionEngine:
                     encoder_reuse=reuse,
                 )
                 if reuse > 1:
-                    static["reuse_exact_head"] = int(
-                        reuse_exact_head if reuse_exact_head is not None
-                        else self.reuse_exact_head
-                    )
-                    static["reuse_exact_tail"] = int(
-                        reuse_exact_tail if reuse_exact_tail is not None
-                        else self.reuse_exact_tail
-                    )
+                    static["reuse_exact_head"] = int(knobs["reuse_exact_head"])
+                    static["reuse_exact_tail"] = int(knobs["reuse_exact_tail"])
                     static["reuse_sigma_boost"] = float(
-                        reuse_sigma_boost if reuse_sigma_boost is not None
-                        else self.reuse_sigma_boost
+                        knobs["reuse_sigma_boost"]
                     )
                     static["reuse_prior_noise"] = float(
-                        reuse_prior_noise if reuse_prior_noise is not None
-                        else self.reuse_prior_noise
+                        knobs["reuse_prior_noise"]
                     )
                     static["reuse_cache_middle"] = bool(
-                        reuse_cache_middle if reuse_cache_middle is not None
-                        else self.reuse_cache_middle
+                        _ovr(reuse_cache_middle, self.reuse_cache_middle)
                     )
                 fn = self._sample_jit(
                     "p", cfg_scale=guidance_scale,
@@ -848,6 +846,7 @@ class DiffusionEngine:
             )
         x0 = jnp.asarray(x0)
         if self.mesh is not None:
+            self._check_mesh_batch(x0.shape[0], "pad or chunk the batch")
             x0 = jax.device_put(x0, data_sharding(self.mesh, x0.ndim))
         fn = self._sample_jit(
             "ddim_invert",
@@ -876,6 +875,7 @@ class DiffusionEngine:
         if self.mesh is not None:
             # explicit placement (a mesh must be a pure layout change; the
             # batchless mask is replicated)
+            self._check_mesh_batch(x0.shape[0], "pad or chunk the batch")
             sh = data_sharding(self.mesh, x0.ndim)
             x0 = jax.device_put(x0, sh)
             x_t = jax.device_put(x_t, sh)

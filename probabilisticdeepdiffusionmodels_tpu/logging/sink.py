@@ -100,6 +100,21 @@ class MetricLogger:
         if self._wandb is not None:
             self._wandb.log({name: self._wandb.Image(str(path))})
 
+    def log_artifact(self, path, name: str, type: str = "checkpoint") -> None:
+        """Mirror a file/dir as a W&B artifact so the run is restorable
+        from anywhere via ``cli.runs pull`` (logging/remote.py — the
+        reference's wandb_util checkpoint round trip).  No-op without the
+        wandb mirror."""
+        if self._wandb is None:
+            return
+        art = self._wandb.Artifact(name, type=type)
+        p = Path(path)
+        if p.is_dir():
+            art.add_dir(str(p))
+        else:
+            art.add_file(str(p))
+        self._wandb.log_artifact(art)
+
     def close(self):
         if self._f is not None:
             self._f.close()

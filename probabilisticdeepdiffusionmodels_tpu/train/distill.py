@@ -189,7 +189,8 @@ def make_distill_step(
 
 
 def distill_round(student, teacher, batches, log_every: int = 50,
-                  log=print, guidance_scale=None) -> Dict:
+                  log=print, guidance_scale=None,
+                  use_ema_teacher: bool = True) -> Dict:
     """Drive one halving round: train ``student`` to mimic two-step
     ``teacher`` over an iterable of x0 (or (x0, y)) batches.  Small host
     loop around one jitted step (teacher params passed as a traced arg —
@@ -200,7 +201,13 @@ def distill_round(student, teacher, batches, log_every: int = 50,
     arXiv:2210.03142, fixed-w variant): the teacher's two DDIM steps run
     through make_cfg_apply_fn, so the student learns the guided score.
     Requires a class-conditional teacher trained with a cfg_null_class
-    row, and labeled batches."""
+    row, and labeled batches.
+
+    ``use_ema_teacher`` selects which teacher weight set supplies the
+    distillation targets — pass the same value given to halved_student so
+    the warm start and the targets come from ONE weight set (ADVICE r3:
+    a silent EMA/raw mismatch degrades the student for no visible
+    reason)."""
     teacher_apply = teacher._apply
     if guidance_scale is not None:
         if not getattr(teacher.model, "cfg_null_class", False):
@@ -218,7 +225,7 @@ def distill_round(student, teacher, batches, log_every: int = 50,
         student._apply_raw, teacher_apply,
         student.tables, teacher.tables,
     ), donate_argnums=(0,))
-    tp = teacher.params(use_ema=True)
+    tp = teacher.params(use_ema=use_ema_teacher)
     state = student.state
     last = {}
     for i, batch in enumerate(batches):

@@ -126,6 +126,13 @@ class Trainer:
         if best is not None:
             self.engine.state = self.ckpt.restore(self.engine.state, best)
             self.engine.replicate_state()  # restore lands on default device
+        # mirror the retained checkpoints once at train end so the run is
+        # restorable from anywhere via `cli.runs pull` (no-op without the
+        # wandb mirror; the reference uploads per-save through Lightning's
+        # WandbLogger — one train-end artifact keeps upload cost bounded)
+        self.logger.log_artifact(
+            self.run_dir.checkpoint_dir(), f"{self.run_dir.name}-checkpoints"
+        )
         return {"best_val_loss": best_val, "steps": step}
 
     def _validate(self, val_loader, step) -> Dict[str, float]:

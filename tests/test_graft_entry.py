@@ -1,0 +1,61 @@
+"""Driver-gate regression pins (VERDICT r3 next #1c).
+
+The r3 round shipped a dryrun_multichip that timed out at the driver budget
+(MULTICHIP_r03 rc=124, zero output).  These tests run the gate exactly the
+way the driver does (fresh subprocess) and pin (a) a wall-clock ceiling on
+the default gate and (b) that the stage lines appear, so a future timeout
+tail is diagnosable.
+"""
+
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+# Default gate must stay well under the driver budget.  The r2-era gate
+# (which passed the driver) took ~60 s on this contended single-CPU host;
+# the r3 gate that timed out took ~145 s.  Pin between the two.
+DEFAULT_CEILING_S = 120.0
+
+
+def _run_gate(extra_env=None, timeout=600):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    env["PYTHONPATH"] = str(REPO)
+    env.update(extra_env or {})
+    t0 = time.monotonic()
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
+    )
+    return proc, time.monotonic() - t0
+
+
+@pytest.mark.slow
+def test_dryrun_default_under_budget_with_stage_lines():
+    proc, dt = _run_gate()
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [l for l in proc.stdout.splitlines() if "[dryrun_multichip" in l]
+    # >= 6 stage lines + the final OK line (VERDICT r3 next #1 done-bar)
+    assert len(lines) >= 7, proc.stdout
+    assert "[dryrun_multichip] OK" in proc.stdout
+    assert dt < DEFAULT_CEILING_S, (
+        f"default gate took {dt:.1f}s (ceiling {DEFAULT_CEILING_S}s) — "
+        "trim arms or gate new jits behind PDDM_DRYRUN_FULL"
+    )
+
+
+@pytest.mark.slow
+def test_dryrun_full_arms():
+    proc, _ = _run_gate({"PDDM_DRYRUN_FULL": "1"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "inpaint + ddim_invert OK" in proc.stdout
+    assert "fsdp engine train step OK" in proc.stdout
+    assert "[dryrun_multichip] OK" in proc.stdout
