@@ -232,6 +232,21 @@ def get_dataset(name: str, train: bool = True, root: Optional[Path] = None,
                 resolution: Optional[int] = None, **kwargs):
     root = Path(root) if root is not None else DATA_DIR / f"{name.lower()}_data"
     lname = name.lower()
+    # fail loudly on kwargs no dataset consumes — a silently dropped
+    # `data.normalize=...` surfaces later as an opaque channel-broadcast
+    # error inside the transform (normalization lives under
+    # data.transformation_kwargs, which DataLoader owns)
+    known = {"n", "channels", "seed"} if lname == "synthetic" else set()
+    unknown = set(kwargs) - known
+    if unknown:
+        hint = (
+            " (normalization belongs under data.transformation_kwargs"
+            ".normalize)" if "normalize" in unknown else ""
+        )
+        raise TypeError(
+            f"get_dataset({name!r}) got unsupported kwargs "
+            f"{sorted(unknown)}{hint}"
+        )
     if lname == "mnist":
         return load_mnist(root, train)
     if lname in ("cifar10", "cifar-10"):

@@ -241,3 +241,13 @@ def test_synthetic_labels_are_informative():
     lo = dom[labels <= 2].mean()
     hi = dom[labels >= 7].mean()
     assert hi > lo + 0.5, (lo, hi)
+
+
+def test_get_dataset_rejects_unknown_kwargs():
+    """A top-level data key no dataset consumes must fail loudly at load
+    time — a silently dropped `data.normalize=...` used to resurface as an
+    opaque channel-broadcast error inside the transform."""
+    with pytest.raises(TypeError, match="transformation_kwargs"):
+        get_dataset("synthetic", resolution=8, n=8, normalize="mnist")
+    with pytest.raises(TypeError, match="unsupported kwargs"):
+        get_dataset("synthetic", resolution=8, n=8, bogus_key=1)
