@@ -4,10 +4,14 @@ Reference surface: scripts/fid_score.py:31-71 (argv: run id + clip flag;
 samples 10k images, scores against the val split) — here:
 
     python -m probabilisticdeepdiffusionmodels_tpu.cli.fid_score \
-        <run_dir> <clip: true|false> [n_samples] [num_sample_steps] [devices] [pr]
+        <run_dir> <clip: true|false> [n_samples] [num_sample_steps] [devices] [pr] [kid]
 
 ``pr`` (true|false, default true) toggles the improved precision & recall
 computation (a bounded extra feature pass, evals/prd.py).
+
+``kid`` (true|false, default false) additionally reports the Kernel
+Inception Distance (unbiased at small n; evals/kid.py) from the same
+teed feature rows.
 
 ``devices`` (int or "all") builds a data mesh so the 10k-sample generation
 is batch-sharded over the slice (VERDICT r2 next #1).
@@ -35,10 +39,17 @@ def main(argv=None):
         return 1
     run_dir = argv[0]
     clip = (argv[1].lower() == "true") if len(argv) > 1 else True
-    n_samples = int(argv[2]) if len(argv) > 2 else 10000
-    num_steps = int(argv[3]) if len(argv) > 3 else None
-    devices = argv[4] if len(argv) > 4 else None
+    # empty strings are positional placeholders for "use the default"
+    n_samples = int(argv[2]) if len(argv) > 2 and argv[2] else 10000
+    # int for respacing, or a section spec ("karras50", "10,20,20") passed
+    # through to space_timesteps (sample/sampler.py)
+    num_steps = None
+    if len(argv) > 3 and argv[3]:
+        num_steps = int(argv[3]) if argv[3].isdigit() else argv[3]
+    # empty string = positional placeholder for "not provided"
+    devices = (argv[4] or None) if len(argv) > 4 else None
     with_pr = (argv[5].lower() == "true") if len(argv) > 5 else True
+    with_kid = (argv[6].lower() == "true") if len(argv) > 6 else False
 
     engine, run_cfg = load_engine_from_run(
         run_dir, clip_while_generating=clip, devices=devices
@@ -50,14 +61,21 @@ def main(argv=None):
     m = compute_fid_from_engine(
         engine, val_loader, n_samples=n_samples, normalize=normalize,
         num_sample_steps=num_steps, with_precision_recall=with_pr,
+        with_kid=with_kid,
     )
     wall = time.perf_counter() - t0
-    fid = m["fid"] if with_pr else m
+    fid = m["fid"] if (with_pr or with_kid) else m
     print(f"FID: {fid} (run={run_dir} clip={clip} n={n_samples})")
     if with_pr:
         print(
             f"precision: {m['precision']:.4f}  recall: {m['recall']:.4f} "
             "(improved P&R, arXiv:1904.06991)"
+        )
+    if with_kid:
+        print(
+            f"KID: {m['kid_mean']:.6f} +/- {m['kid_std']:.6f} "
+            f"(subsets {m['kid_n_subsets']}x{m['kid_subset_size']}, "
+            "arXiv:1801.01401)"
         )
     # full-pipeline timing (sampling + inception features + moments) so the
     # 10k dress-rehearsal run records its cost (VERDICT r2 next #6)

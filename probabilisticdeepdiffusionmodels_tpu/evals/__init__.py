@@ -1,2 +1,3 @@
+from .kid import kernel_inception_distance, polynomial_mmd2
 from .nll import calculate_likelihood
 from .prd import knn_precision_recall

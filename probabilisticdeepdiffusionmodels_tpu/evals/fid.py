@@ -204,6 +204,7 @@ def compute_fid_from_engine(
     ddim: bool = False,
     with_precision_recall: bool = False,
     pr_limit: int = 4096,
+    with_kid: bool = False,
 ):
     """Sample from the model and score against the dataloader's reals
     (reference compute_FID_score, src/modules/fid_score.py:57-72; sampling
@@ -215,7 +216,12 @@ def compute_fid_from_engine(
     {"fid", "precision", "recall"} instead of the bare float.  The P&R
     features are an explicit extra forward on the subsampled batches
     (bounded by pr_limit), keeping the streaming moment path — which under
-    a mesh never materializes features on the host — untouched."""
+    a mesh never materializes features on the host — untouched.
+
+    ``with_kid`` additionally reports the Kernel Inception Distance
+    (arXiv:1801.01401, evals/kid.py) on the same teed feature rows —
+    unbiased at small n, unlike FID — and likewise switches the return to
+    a dict."""
     inception_params = (
         inception_params if inception_params is not None else load_params()
     )
@@ -240,7 +246,7 @@ def compute_fid_from_engine(
     fake_gen = fake_batches()
     real_gen = _real_batches(dataloader, normalize, real_limit)
     buckets = {"fake": [], "real": []}
-    if with_precision_recall:
+    if with_precision_recall or with_kid:
         def tee(gen, name):
             count = 0
             for b in gen:
@@ -262,14 +268,20 @@ def compute_fid_from_engine(
     mu_f, cov_f = compute_statistics(fake_gen, feature_fn=feat, mesh=mesh)
     mu_r, cov_r = compute_statistics(real_gen, feature_fn=feat, mesh=mesh)
     fid = frechet_distance(mu_f, cov_f, mu_r, cov_r)
-    if not with_precision_recall:
+    if not (with_precision_recall or with_kid):
         return fid
-    from .prd import knn_precision_recall
+    out = {"fid": fid}
+    real_f = np.concatenate(buckets["real"])
+    fake_f = np.concatenate(buckets["fake"])
+    if with_precision_recall:
+        from .prd import knn_precision_recall
 
-    pr = knn_precision_recall(
-        np.concatenate(buckets["real"]), np.concatenate(buckets["fake"])
-    )
-    return {"fid": fid, **pr}
+        out.update(knn_precision_recall(real_f, fake_f))
+    if with_kid:
+        from .kid import kernel_inception_distance
+
+        out.update(kernel_inception_distance(real_f, fake_f))
+    return out
 
 
 def compute_fid_for_loaders(
