@@ -4,7 +4,7 @@ Reference surface: scripts/fid_score.py:31-71 (argv: run id + clip flag;
 samples 10k images, scores against the val split) — here:
 
     python -m probabilisticdeepdiffusionmodels_tpu.cli.fid_score \
-        <run_dir> <clip: true|false> [n_samples] [num_sample_steps] [devices] [pr] [kid]
+        <run_dir> <clip: true|false> [n_samples] [num_sample_steps] [devices] [pr] [kid] [is]
 
 ``pr`` (true|false, default true) toggles the improved precision & recall
 computation (a bounded extra feature pass, evals/prd.py).
@@ -12,6 +12,10 @@ computation (a bounded extra feature pass, evals/prd.py).
 ``kid`` (true|false, default false) additionally reports the Kernel
 Inception Distance (unbiased at small n; evals/kid.py) from the same
 teed feature rows.
+
+``is`` (true|false, default false) additionally reports the Inception
+Score (arXiv:1606.03498; evals/is_score.py) — the fc head applied to the
+teed fake pool features, no extra Inception forward.
 
 ``devices`` (int or "all") builds a data mesh so the 10k-sample generation
 is batch-sharded over the slice (VERDICT r2 next #1).
@@ -50,6 +54,7 @@ def main(argv=None):
     devices = (argv[4] or None) if len(argv) > 4 else None
     with_pr = (argv[5].lower() == "true") if len(argv) > 5 else True
     with_kid = (argv[6].lower() == "true") if len(argv) > 6 else False
+    with_is = (argv[7].lower() == "true") if len(argv) > 7 else False
 
     engine, run_cfg = load_engine_from_run(
         run_dir, clip_while_generating=clip, devices=devices
@@ -61,10 +66,11 @@ def main(argv=None):
     m = compute_fid_from_engine(
         engine, val_loader, n_samples=n_samples, normalize=normalize,
         num_sample_steps=num_steps, with_precision_recall=with_pr,
-        with_kid=with_kid,
+        with_kid=with_kid, with_inception_score=with_is,
     )
     wall = time.perf_counter() - t0
-    fid = m["fid"] if (with_pr or with_kid) else m
+    extras = with_pr or with_kid or with_is
+    fid = m["fid"] if extras else m
     print(f"FID: {fid} (run={run_dir} clip={clip} n={n_samples})")
     if with_pr:
         print(
@@ -76,6 +82,11 @@ def main(argv=None):
             f"KID: {m['kid_mean']:.6f} +/- {m['kid_std']:.6f} "
             f"(subsets {m['kid_n_subsets']}x{m['kid_subset_size']}, "
             "arXiv:1801.01401)"
+        )
+    if with_is:
+        print(
+            f"IS: {m['is_mean']:.4f} +/- {m['is_std']:.4f} "
+            f"({m['is_splits']} splits, arXiv:1606.03498)"
         )
     # full-pipeline timing (sampling + inception features + moments) so the
     # 10k dress-rehearsal run records its cost (VERDICT r2 next #6)

@@ -120,10 +120,12 @@ def run_sampling(cfg) -> None:
         vis(engine, -1)
         print(f"[sample] regular viz written to {media_dir}")
 
-    if (cfg.get("num_sample_steps") or cfg.get("sampler") in ("ddim", "dpmpp")
+    if (cfg.get("num_sample_steps")
+            or cfg.get("sampler") in ("ddim", "dpmpp", "heun")
             or cfg.get("guidance_scale") is not None):
         # fast-sampler generation grid (strided/DDIM, BASELINE config #3;
-        # sampler=dpmpp selects DPM-Solver++(2M))
+        # sampler=dpmpp selects DPM-Solver++(2M), sampler=heun the EDM
+        # Heun 2nd-order solver)
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -152,6 +154,7 @@ def run_sampling(cfg) -> None:
             ddim=cfg.get("sampler") == "ddim",
             dpm_solver=cfg.get("sampler") == "dpmpp",
             dpm_order=int(cfg.get("dpm_order", 2)),
+            heun=cfg.get("sampler") == "heun",
             **gen_kwargs,
         )
         fig, axes = plt.subplots(1, n, figsize=(2 * n, 2.2))

@@ -42,6 +42,7 @@ from .sample.sampler import (
     ddim_invert_loop,
     ddim_sample_loop,
     dpmpp_sample_loop,
+    heun_sample_loop,
     inpaint_sample_loop,
     make_cfg_apply_fn,
     make_v_to_eps_apply_fn,
@@ -551,6 +552,7 @@ class DiffusionEngine:
                 "ddim": ddim_sample_loop,
                 "ddim_invert": ddim_invert_loop,
                 "dpmpp": dpmpp_sample_loop,
+                "heun": heun_sample_loop,
                 "inpaint": inpaint_sample_loop,
             }[loop_name]
             apply_fn = self._apply
@@ -620,7 +622,7 @@ class DiffusionEngine:
     def generate_images(
         self, n=1, minibatch=4, mean_only=False, seed=None, use_ema=True,
         num_sample_steps=None, ddim=False, ddim_eta=0.0,
-        dpm_solver=False, dpm_order=2, shard_mode="batch",
+        dpm_solver=False, dpm_order=2, heun=False, shard_mode="batch",
         y=None, guidance_scale=None, guidance_interval=None,
         encoder_reuse=None, x_T=None,
         reuse_exact_head=None, reuse_exact_tail=None,
@@ -628,9 +630,10 @@ class DiffusionEngine:
         reuse_cache_middle=None,
     ) -> np.ndarray:
         """Batched generation (reference engine.py:556-574), with optional
-        strided/DDIM fast sampling (BASELINE config #3 extension) and
+        strided/DDIM fast sampling (BASELINE config #3 extension),
         DPM-Solver++ multistep sampling (``dpm_solver=True``,
-        ``dpm_order`` in {1, 2}).
+        ``dpm_order`` in {1, 2}), and EDM Heun 2nd-order sampling
+        (``heun=True``, arXiv:2206.00364 — 2 model evals per step).
 
         ``y``: per-image conditioning of length n — class labels for a
         class-conditional UNet, low-res images for SuperResModel.
@@ -728,23 +731,32 @@ class DiffusionEngine:
                     reuse_prior_noise, self.reuse_prior_noise
                 ),
             )
-            if dpm_solver:
-                if ddim:
-                    raise ValueError("pass either ddim=True or dpm_solver="
-                                     "True, not both")
+            if sum((bool(ddim), bool(dpm_solver), bool(heun))) > 1:
+                raise ValueError(
+                    "pass at most one of ddim / dpm_solver / heun"
+                )
+            if dpm_solver or heun:
+                which = "DPM-Solver++" if dpm_solver else "Heun"
                 if reuse > 1 or any(knobs.values()):
                     raise ValueError(
                         "encoder_reuse / reuse calibration knobs are not "
-                        "supported on the DPM-Solver++ path (deterministic "
-                        "multistep solver); clear them or use the "
+                        f"supported on the {which} path (deterministic "
+                        "ODE solver); clear them or use the "
                         "ancestral/DDIM samplers"
                     )
-                fn = self._sample_jit(
-                    "dpmpp", cfg_scale=guidance_scale,
-                    cfg_interval=guidance_interval,
-                    clip=self.clip_while_generating,
-                    order=int(dpm_order),
-                )
+                if dpm_solver:
+                    fn = self._sample_jit(
+                        "dpmpp", cfg_scale=guidance_scale,
+                        cfg_interval=guidance_interval,
+                        clip=self.clip_while_generating,
+                        order=int(dpm_order),
+                    )
+                else:
+                    fn = self._sample_jit(
+                        "heun", cfg_scale=guidance_scale,
+                        cfg_interval=guidance_interval,
+                        clip=self.clip_while_generating,
+                    )
             elif ddim:
                 knobs["reuse_cache_middle"] = _ovr(
                     reuse_cache_middle, self.reuse_cache_middle

@@ -205,6 +205,7 @@ def compute_fid_from_engine(
     with_precision_recall: bool = False,
     pr_limit: int = 4096,
     with_kid: bool = False,
+    with_inception_score: bool = False,
 ):
     """Sample from the model and score against the dataloader's reals
     (reference compute_FID_score, src/modules/fid_score.py:57-72; sampling
@@ -221,7 +222,12 @@ def compute_fid_from_engine(
     ``with_kid`` additionally reports the Kernel Inception Distance
     (arXiv:1801.01401, evals/kid.py) on the same teed feature rows —
     unbiased at small n, unlike FID — and likewise switches the return to
-    a dict."""
+    a dict.
+
+    ``with_inception_score`` additionally reports the Inception Score
+    (arXiv:1606.03498, evals/is_score.py) from the teed FAKE pool
+    features — the classifier head is one linear layer on those features,
+    so IS costs no extra Inception forward."""
     inception_params = (
         inception_params if inception_params is not None else load_params()
     )
@@ -246,7 +252,8 @@ def compute_fid_from_engine(
     fake_gen = fake_batches()
     real_gen = _real_batches(dataloader, normalize, real_limit)
     buckets = {"fake": [], "real": []}
-    if with_precision_recall or with_kid:
+    _extras = with_precision_recall or with_kid or with_inception_score
+    if _extras:
         def tee(gen, name):
             count = 0
             for b in gen:
@@ -268,7 +275,7 @@ def compute_fid_from_engine(
     mu_f, cov_f = compute_statistics(fake_gen, feature_fn=feat, mesh=mesh)
     mu_r, cov_r = compute_statistics(real_gen, feature_fn=feat, mesh=mesh)
     fid = frechet_distance(mu_f, cov_f, mu_r, cov_r)
-    if not (with_precision_recall or with_kid):
+    if not _extras:
         return fid
     out = {"fid": fid}
     real_f = np.concatenate(buckets["real"])
@@ -281,6 +288,12 @@ def compute_fid_from_engine(
         from .kid import kernel_inception_distance
 
         out.update(kernel_inception_distance(real_f, fake_f))
+    if with_inception_score:
+        from .is_score import inception_score_from_features
+
+        out.update(
+            inception_score_from_features(fake_f, inception_params)
+        )
     return out
 
 

@@ -32,14 +32,17 @@ import numpy as np
 
 __all__ = [
     "inception_pool_features",
+    "inception_logits",
     "params_from_torch_state_dict",
     "random_params",
     "load_params",
     "preprocess",
     "FEATURE_DIM",
+    "NUM_CLASSES",
 ]
 
 FEATURE_DIM = 2048
+NUM_CLASSES = 1008  # TF-ported fc head (pytorch-fid checkpoint)
 _BN_EPS = 0.001
 
 
@@ -194,6 +197,16 @@ def inception_pool_features(params: Dict, x: jax.Array) -> jax.Array:
     return jnp.mean(x, axis=(1, 2))  # global avg pool -> [B, 2048]
 
 
+def inception_logits(params: Dict, x: jax.Array) -> jax.Array:
+    """x: [B,299,299,3] in [-1,1] -> [B, 1008] class logits (the TF-ported
+    fc head the pytorch-fid checkpoint carries; used by the Inception
+    Score, evals/is_score.py).  Requires a param tree with an ``fc`` entry
+    (``params_from_torch_state_dict`` / ``random_params`` both provide it)."""
+    feats = inception_pool_features(params, x)
+    fc = params["fc"]
+    return feats @ fc["w"] + fc["b"]
+
+
 # ---------------------------------------------------------------- weights
 
 
@@ -254,6 +267,13 @@ def params_from_torch_state_dict(sd) -> Dict:
                   "Mixed_7c"]:
         out[block] = {
             br: fold(f"{block}.{br}") for br in block_branches[block]
+        }
+    # classifier head (present in the pytorch-fid checkpoint; feeds the
+    # Inception Score).  torch Linear stores [out, in] — transpose to [in, out]
+    if "fc.weight" in sd:
+        out["fc"] = {
+            "w": jnp.asarray(sd["fc.weight"].numpy().T),
+            "b": jnp.asarray(sd["fc.bias"].numpy()),
         }
     return out
 
@@ -345,6 +365,12 @@ def random_params(key: jax.Array) -> Dict:
             for br, shape in sub.items():
                 out[name][br] = mk(jax.random.fold_in(key, i), *shape)
                 i += 1
+    out["fc"] = {
+        "w": jax.random.normal(
+            jax.random.fold_in(key, i), (FEATURE_DIM, NUM_CLASSES)
+        ).astype(jnp.float32) * (1.0 / math.sqrt(FEATURE_DIM)),
+        "b": jnp.zeros((NUM_CLASSES,), jnp.float32),
+    }
     return out
 
 

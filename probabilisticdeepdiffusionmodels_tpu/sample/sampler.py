@@ -41,6 +41,7 @@ __all__ = [
     "ddim_sample_loop",
     "ddim_invert_loop",
     "dpmpp_sample_loop",
+    "heun_sample_loop",
     "inpaint_sample_loop",
     "make_cfg_apply_fn",
     "make_v_to_eps_apply_fn",
@@ -722,6 +723,90 @@ def dpmpp_sample_loop(
     (x_final, _, _, _), _ = jax.lax.scan(
         body, carry0, jnp.arange(T, 0, -1)
     )
+    return x_final
+
+
+def heun_sample_loop(
+    apply_fn: Callable,
+    params,
+    tables: DiffusionTables,
+    x_t: jax.Array,
+    key: Optional[jax.Array] = None,
+    *,
+    t_start: Optional[int] = None,
+    clip: bool = False,
+    y: Optional[jax.Array] = None,
+    timestep_map: Optional[jax.Array] = None,
+) -> jax.Array:
+    """EDM deterministic Heun sampling (Karras et al., arXiv:2206.00364
+    Alg. 1, S_churn=0) — a 2nd-order single-step ODE solver, complementing
+    the multistep DPM-Solver++(2M): same O(h^2) local accuracy with no
+    history carry, at 2 model evals per step (a fast-sampling capability
+    beyond the reference, whose sampler runs every step ancestrally,
+    src/engine.py:385-403).
+
+    The probability-flow ODE in EDM's scaled coordinates
+    (x_hat = x/sqrt(abar), sigma = sqrt(1-abar)/sqrt(abar)) is
+    d x_hat / d sigma = eps(x, t), so per step t -> t-1:
+
+        x_hat_euler = x_hat_t + (sigma_{t-1} - sigma_t) eps_t
+        x_hat_{t-1} = x_hat_t + (sigma_{t-1} - sigma_t)
+                      * (eps_t + eps(x_euler, t-1)) / 2
+
+    The final step (t=1 -> 0, sigma_0 = 0) is Euler-only — the correction
+    slope at sigma=0 is undefined; the Euler limit IS the x0 prediction.
+    ``clip`` clamps the x0 view and rebuilds a consistent slope
+    eps = (x_hat - clip(x0)) / sigma (unlike DDIM's clipped-x0 +
+    unclipped-eps mix, which collapses at many steps — docs/RESULTS.md).
+    Combine with respaced_schedule ("karrasN" spacing is the EDM-native
+    choice); ``key`` is accepted for endpoint-signature uniformity but
+    unused (deterministic).
+
+    Regime note (measured on the analytic Gaussian-data ODE,
+    tests/test_heun.py): the 2nd-order gain kicks in from ~10 steps up
+    (3.2x lower error than DDIM at 10 steps, 9.9x at 25 on linear-1000
+    tables); at <=8 steps over a sigma_max~157 chain the long-step
+    overshoot of any explicit 2nd-order corrector can lose to 1st order —
+    EDM itself operates at >=10 steps.
+    """
+    T = t_start if t_start is not None else tables.diffusion_steps
+    b = x_t.shape[0]
+    ndim = x_t.ndim
+
+    abar = tables.alphas_hat
+    abar_prev = tables.alphas_hat_prev  # exactly 1.0 at t=1 (sigma_0 = 0)
+
+    def slope(x, t, a, sigma):
+        """d x_hat / d sigma at (x, t); == model eps, or the consistent
+        clipped-x0 slope when clip is set."""
+        eps, _ = _model_eps(apply_fn, params, tables, x, t, y, timestep_map)
+        if clip:
+            x0 = D.xstart_from_epsilon(tables, x, t, eps, clip=True)
+            eps = (x / jnp.sqrt(a) - x0) / jnp.maximum(sigma, 1e-12)
+        return eps
+
+    def body(x, t_step):
+        t = jnp.full((b,), t_step, dtype=jnp.int32)
+        a_t = D.expand_to(abar, t, ndim)
+        a_s = D.expand_to(abar_prev, t, ndim)
+        sig_t = jnp.sqrt((1.0 - a_t) / a_t)
+        sig_s = jnp.sqrt(jnp.maximum(1.0 - a_s, 0.0) / a_s)
+        d_t = slope(x, t, a_t, sig_t)
+
+        x_hat = x / jnp.sqrt(a_t)
+        x_hat_euler = x_hat + (sig_s - sig_t) * d_t
+        x_euler = jnp.sqrt(a_s) * x_hat_euler
+
+        # correction slope at the target time; on the final step (t=1,
+        # sigma_0=0) the eval runs at a safe index and is discarded by the
+        # where below
+        s_safe = jnp.full((b,), jnp.maximum(t_step - 1, 1), dtype=jnp.int32)
+        d_s = slope(x_euler, s_safe, a_s, sig_s)
+        x_hat_heun = x_hat + (sig_s - sig_t) * 0.5 * (d_t + d_s)
+        x_heun = jnp.sqrt(a_s) * x_hat_heun
+        return jnp.where(t_step == 1, x_euler, x_heun), None
+
+    x_final, _ = jax.lax.scan(body, x_t, jnp.arange(T, 0, -1))
     return x_final
 
 

@@ -23,8 +23,9 @@ x = jax.random.normal(jax.random.PRNGKey(7), (8, 16, 16, 1))
 losses = [float(eng.training_step(x)["loss"]) for _ in range(5)]
 print('min-snr+v+importance losses:', [round(l, 4) for l in losses], flush=True)
 assert np.isfinite(losses).all()
-# karras respaced DDIM + dpmpp
-for spec, kw in [("karras10", dict(ddim=True)), ("karras10", dict(dpm_solver=True))]:
+# karras respaced DDIM + dpmpp + heun (r4)
+for spec, kw in [("karras10", dict(ddim=True)), ("karras10", dict(dpm_solver=True)),
+                 ("karras10", dict(heun=True))]:
     imgs = np.asarray(eng.generate_images(n=4, minibatch=4, seed=1,
                                           num_sample_steps=spec, **kw))
     assert np.isfinite(imgs).all(), (spec, kw)

@@ -89,6 +89,12 @@ CONFIG_SETS = {
         ("ddim_k10", dict(ddim=True, num_sample_steps="karras10")),
         ("ddim_50", dict(ddim=True, num_sample_steps=50)),
         ("ddim_k50", dict(ddim=True, num_sample_steps="karras50")),
+        # EDM Heun (r4): 2 NFE/step — heun_10 grid-matches dpmpp_10/ddim_10
+        # (NFE 19), heun_25 NFE-matches ddim_50 (NFE 49)
+        ("heun_10", dict(heun=True, num_sample_steps=10)),
+        ("heun_k10", dict(heun=True, num_sample_steps="karras10")),
+        ("heun_25", dict(heun=True, num_sample_steps=25)),
+        ("heun_k25", dict(heun=True, num_sample_steps="karras25")),
     ],
     # probability-flow-ODE convergence check: full-T DDIM (eta=0) and
     # DPM++(2M) discretize the SAME ODE — at T=1000 both must land at its

@@ -20,3 +20,54 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", False)
+
+# ---------------------------------------------------------------- fast lane
+#
+# Data-driven slow marking (VERDICT r3 next #6): tests/durations.txt holds
+# measured per-test call times from a full-suite `--durations=0` run on this
+# host; collection marks anything at or above SLOW_THRESHOLD_S as `slow`, so
+#
+#     python -m pytest tests/ -q -m "not slow"
+#
+# is the per-commit fast lane (~6-8 min here) and the full suite stays the
+# pre-push bar.  Tests not in the file (new tests) default to fast until the
+# durations are re-captured:
+#
+#     PYTHONPATH= python -m pytest tests/ -q --durations=0 2>&1 \
+#       | grep ' call ' | sort -rn | awk '{print $3, $1}' | sed 's/s$//' \
+#       > tests/durations.txt
+#
+# Explicit @pytest.mark.slow decorations (subprocess gates, training loops)
+# still apply regardless of the file.
+
+import pathlib  # noqa: E402
+
+import pytest  # noqa: E402
+
+SLOW_THRESHOLD_S = 10.0
+
+
+def _known_durations():
+    path = pathlib.Path(__file__).with_name("durations.txt")
+    out = {}
+    try:
+        for line in path.read_text().splitlines():
+            parts = line.split()
+            if len(parts) == 2:
+                # normalize to the part after the tests/ dir so nodeids
+                # match regardless of the invocation cwd
+                name = parts[0].split("tests/")[-1]
+                out[name] = float(parts[1])
+    except (OSError, ValueError):
+        pass
+    return out
+
+
+def pytest_collection_modifyitems(config, items):
+    known = _known_durations()
+    if not known:
+        return
+    for item in items:
+        name = item.nodeid.split("tests/")[-1]
+        if known.get(name, 0.0) >= SLOW_THRESHOLD_S:
+            item.add_marker(pytest.mark.slow)

@@ -8,9 +8,9 @@ tail is diagnosable.
 """
 
 import os
+import resource
 import subprocess
 import sys
-import time
 from pathlib import Path
 
 import pytest
@@ -19,7 +19,11 @@ REPO = Path(__file__).resolve().parents[1]
 
 # Default gate must stay well under the driver budget.  The r2-era gate
 # (which passed the driver) took ~60 s on this contended single-CPU host;
-# the r3 gate that timed out took ~145 s.  Pin between the two.
+# the r3 gate that timed out took ~145 s.  Pin between the two.  Measured
+# in child CPU seconds (user+sys via RUSAGE_CHILDREN), not wall-clock —
+# this host runs a TPU-probe loop that steals the single CPU for minutes
+# at a time, which made the wall-clock pin flaky (r4 durations run:
+# 160 s wall for a ~100 s-CPU gate).
 DEFAULT_CEILING_S = 120.0
 
 
@@ -29,13 +33,15 @@ def _run_gate(extra_env=None, timeout=600):
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
     env["PYTHONPATH"] = str(REPO)
     env.update(extra_env or {})
-    t0 = time.monotonic()
+    r0 = resource.getrusage(resource.RUSAGE_CHILDREN)
     proc = subprocess.run(
         [sys.executable, "-c",
          "import __graft_entry__ as g; g.dryrun_multichip(8)"],
         cwd=REPO, env=env, capture_output=True, text=True, timeout=timeout,
     )
-    return proc, time.monotonic() - t0
+    r1 = resource.getrusage(resource.RUSAGE_CHILDREN)
+    cpu_s = (r1.ru_utime - r0.ru_utime) + (r1.ru_stime - r0.ru_stime)
+    return proc, cpu_s
 
 
 @pytest.mark.slow
@@ -47,7 +53,7 @@ def test_dryrun_default_under_budget_with_stage_lines():
     assert len(lines) >= 7, proc.stdout
     assert "[dryrun_multichip] OK" in proc.stdout
     assert dt < DEFAULT_CEILING_S, (
-        f"default gate took {dt:.1f}s (ceiling {DEFAULT_CEILING_S}s) — "
+        f"default gate took {dt:.1f} CPU-s (ceiling {DEFAULT_CEILING_S}) — "
         "trim arms or gate new jits behind PDDM_DRYRUN_FULL"
     )
 

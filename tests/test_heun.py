@@ -1,0 +1,183 @@
+"""EDM Heun 2nd-order ODE sampler (Karras et al., arXiv:2206.00364 Alg. 1
+with S_churn=0 — a fast-sampling capability beyond the reference, whose
+sampler is ancestral only, src/engine.py:385-403).
+
+Contract under test:
+  * 2nd order: over a respaced few-step schedule, Heun lands closer to the
+    fine-step ODE limit than 1st-order deterministic DDIM at the same grid;
+  * the final step returns the x0 prediction (the sigma->0 Euler limit);
+  * jits, stays finite, composes with respaced schedules;
+  * the engine endpoint exposes it and rejects incompatible knobs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from probabilisticdeepdiffusionmodels_tpu.core import (
+    DiffusionTables,
+    NoiseSchedule,
+)
+from probabilisticdeepdiffusionmodels_tpu.models import get_model
+from probabilisticdeepdiffusionmodels_tpu.sample import (
+    ddim_sample_loop,
+    heun_sample_loop,
+    respaced_schedule,
+    space_timesteps,
+)
+
+
+@pytest.fixture(scope="module")
+def small_unet():
+    model = get_model(
+        8,
+        dict(
+            name="unet",
+            in_channels=3,
+            model_channels=32,
+            num_res_blocks=1,
+            attention_resolutions=[],
+            channel_mult=[1, 2],
+            num_heads=1,
+        ),
+    )
+    x = jnp.zeros((2, 8, 8, 3), jnp.float32)
+    t = jnp.ones((2,), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), x, t)["params"]
+    # un-zero the zero-init convs so eps depends on input and t
+    for name in ("out_conv", "up0_0_res", "mid0_0_res"):
+        sub = params[name]
+        sub = sub["out_conv"] if "out_conv" in sub else sub
+        sub["conv"]["kernel"] = (
+            jax.random.normal(
+                jax.random.PRNGKey(7), sub["conv"]["kernel"].shape
+            )
+            * 0.05
+        )
+
+    def apply_fn(p, xx, tt, yy=None, **kw):
+        return model.apply({"params": p}, xx, tt, yy, **kw)
+
+    return model, params, apply_fn
+
+
+def _gaussian_denoiser(full_abar, c2=1.0):
+    """Exact eps-denoiser for data ~ N(0, c2 I):
+    eps(x, t) = sqrt(1-abar) x / (abar c2 + 1 - abar).  The PF-ODE then has
+    the closed-form solution x_hat(sigma) = x_hat(s_max)
+    * sqrt((c2+sigma^2)/(c2+s_max^2)) — analytic ground truth for solver
+    convergence tests."""
+    abar_j = jnp.asarray(full_abar)
+
+    def apply_fn(p, x, t, y=None, **kw):
+        a = jnp.take(abar_j, t - 1).reshape((-1,) + (1,) * (x.ndim - 1))
+        return jnp.sqrt(1.0 - a) * x / (a * c2 + 1.0 - a)
+
+    return apply_fn
+
+
+def test_heun_is_second_order_on_analytic_ode():
+    """Gaussian-data exact denoiser (closed-form PF-ODE limit): Heun must
+    beat 1st-order DDIM at the same grid, with the gap WIDENING as the grid
+    refines (the 2nd-order signature).  Measured on this problem
+    (linear-1000 tables): ddim/heun error ratio 3.2x at 10 uniform steps,
+    9.9x at 25.  At very coarse grids (<=8 steps over sigma_max~157) the
+    long-step overshoot dominates and 1st order can win — the documented
+    regime limit (EDM itself uses >=10 steps)."""
+    T = 1000
+    sched = NoiseSchedule.create(diffusion_steps=T, mode="linear")
+    full_abar = np.asarray(DiffusionTables.from_schedule(sched).alphas_hat)
+    apply_fn = _gaussian_denoiser(full_abar)
+
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3), jnp.float32)
+    a_T = full_abar[-1]
+    x0_exact = np.asarray(x_T) / np.sqrt(a_T) * np.sqrt(
+        1.0 / (1.0 + (1.0 - a_T) / a_T)
+    )
+
+    errs = {}
+    for n in (10, 25):
+        sub, tmap = respaced_schedule(sched, space_timesteps(T, n))
+        coarse = DiffusionTables.from_schedule(sub)
+        tmap_j = jnp.asarray(tmap)
+        d = ddim_sample_loop(
+            apply_fn, None, coarse, x_T, clip=False, timestep_map=tmap_j
+        )
+        h = heun_sample_loop(
+            apply_fn, None, coarse, x_T, clip=False, timestep_map=tmap_j
+        )
+        errs[n] = (
+            float(jnp.sqrt(jnp.mean((d - x0_exact) ** 2))),
+            float(jnp.sqrt(jnp.mean((h - x0_exact) ** 2))),
+        )
+    for n, (ed, eh) in errs.items():
+        assert np.isfinite(eh) and eh < ed, (n, ed, eh)
+    # gap widens as h shrinks: 2nd vs 1st order
+    assert errs[25][0] / errs[25][1] > errs[10][0] / errs[10][1]
+
+
+def test_final_step_is_x0_prediction(small_unet):
+    """One-step chain (T=1): output == the clip-consistent x0 prediction
+    at t=1 (the sigma_0=0 Euler limit)."""
+    from probabilisticdeepdiffusionmodels_tpu.core import diffusion as D
+
+    model, params, apply_fn = small_unet
+    sched = NoiseSchedule.create(diffusion_steps=1, mode="cosine")
+    tables = DiffusionTables.from_schedule(sched)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 3), jnp.float32)
+    out = heun_sample_loop(apply_fn, params, tables, x, clip=False)
+    t = jnp.ones((2,), jnp.int32)
+    eps = apply_fn(params, x, t)
+    x0 = D.xstart_from_epsilon(tables, x, t, eps, clip=False)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(x0), atol=1e-5, rtol=1e-5
+    )
+
+
+def test_heun_jits_finite_with_clip(small_unet):
+    model, params, apply_fn = small_unet
+    sched = NoiseSchedule.create(diffusion_steps=10, mode="cosine")
+    tables = DiffusionTables.from_schedule(sched)
+    x_T = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 3), jnp.float32)
+    fn = jax.jit(
+        lambda p, xt: heun_sample_loop(apply_fn, p, tables, xt, clip=True)
+    )
+    out = fn(params, x_T)
+    assert out.shape == x_T.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
+    assert float(jnp.max(jnp.abs(out))) < 50.0  # scaled-space round trip sane
+
+
+def test_engine_endpoint_heun():
+    from probabilisticdeepdiffusionmodels_tpu.engine import DiffusionEngine
+
+    eng = DiffusionEngine(
+        model_config=dict(
+            name="unet",
+            in_channels=1,
+            model_channels=32,
+            num_res_blocks=1,
+            attention_resolutions=[],
+            channel_mult=[1],
+            num_heads=1,
+        ),
+        optimizer_config=dict(lr=1e-4),
+        diffusion_steps=8,
+        mode="cosine",
+        resolution=8,
+    )
+    imgs = eng.generate_images(n=2, minibatch=2, seed=0, heun=True)
+    assert imgs.shape == (2, 8, 8, 1) and np.isfinite(imgs).all()
+    # karras spacing is the EDM-native grid; composes via num_sample_steps
+    imgs_k = eng.generate_images(
+        n=2, minibatch=2, seed=0, heun=True, num_sample_steps="karras4"
+    )
+    assert np.isfinite(imgs_k).all()
+    with pytest.raises(ValueError):
+        eng.generate_images(n=2, seed=0, heun=True, ddim=True)
+    with pytest.raises(ValueError):
+        eng.generate_images(n=2, seed=0, heun=True, dpm_solver=True)
+    with pytest.raises(ValueError):
+        eng.generate_images(n=2, seed=0, heun=True, encoder_reuse=2)
