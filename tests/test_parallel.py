@@ -276,6 +276,19 @@ def test_engine_mesh_generate_images_matches_single_device():
     np.testing.assert_allclose(imgs8, imgs1, rtol=2e-6, atol=2e-6)
 
 
+def test_engine_mesh_heun_matches_single_device():
+    """The EDM Heun solver is a pure layout change under the data mesh,
+    like every other sampler endpoint (deterministic: exact equality
+    modulo f32 reduction order)."""
+    e1 = _make_engine(None)
+    e8 = _make_engine(make_mesh(8))
+    kw = dict(n=8, minibatch=8, seed=3, heun=True, num_sample_steps=5)
+    np.testing.assert_allclose(
+        e8.generate_images(**kw), e1.generate_images(**kw),
+        rtol=2e-6, atol=2e-6,
+    )
+
+
 def test_engine_mesh_rejects_indivisible_batch():
     e8 = _make_engine(make_mesh(8))
     with pytest.raises(ValueError, match="divisible"):
