@@ -227,10 +227,21 @@ def compute_fid_from_engine(
     ``with_inception_score`` additionally reports the Inception Score
     (arXiv:1606.03498, evals/is_score.py) from the teed FAKE pool
     features — the classifier head is one linear layer on those features,
-    so IS costs no extra Inception forward."""
+    so IS costs no extra Inception forward.
+
+    ``pr_limit`` caps the teed feature rows PER SIDE for all three extras
+    (P&R, KID, IS) — the streaming FID moments still cover every sample;
+    the returned ``extras_n_fake``/``extras_n_real`` record the actual
+    extras coverage."""
     inception_params = (
         inception_params if inception_params is not None else load_params()
     )
+    if with_inception_score and "fc" not in inception_params:
+        # fail BEFORE the expensive sampling pass, not after it
+        raise ValueError(
+            "with_inception_score needs an inception param tree with an "
+            "'fc' classifier head (the loaded checkpoint has none)"
+        )
     feat = _make_feature_fn(inception_params)
     mesh = getattr(engine, "mesh", None)
 
@@ -253,6 +264,9 @@ def compute_fid_from_engine(
     real_gen = _real_batches(dataloader, normalize, real_limit)
     buckets = {"fake": [], "real": []}
     _extras = with_precision_recall or with_kid or with_inception_score
+    # the real-side features only feed P&R and KID — an IS-only request
+    # must not pay an extra Inception pass over thousands of real images
+    _need_real = with_precision_recall or with_kid
     if _extras:
         def tee(gen, name):
             count = 0
@@ -266,7 +280,8 @@ def compute_fid_from_engine(
                 yield b
 
         fake_gen = tee(fake_gen, "fake")
-        real_gen = tee(real_gen, "real")
+        if _need_real:
+            real_gen = tee(real_gen, "real")
 
     # when the engine carries a mesh the whole pipeline is sharded: sampling
     # (engine.generate_images shards x_T over the data axis) AND the feature
@@ -278,8 +293,15 @@ def compute_fid_from_engine(
     if not _extras:
         return fid
     out = {"fid": fid}
-    real_f = np.concatenate(buckets["real"])
     fake_f = np.concatenate(buckets["fake"])
+    real_f = np.concatenate(buckets["real"]) if _need_real else None
+    # the extras run on the teed rows, capped at pr_limit per side; record
+    # the actual coverage so a 10k-sample FID with pr_limit=4096 extras is
+    # never mistaken for extras over all 10k (they are the FIRST rows of
+    # the deterministic seed sequence, not a random subsample)
+    out["extras_n_fake"] = int(len(fake_f))
+    if _need_real:
+        out["extras_n_real"] = int(len(real_f))
     if with_precision_recall:
         from .prd import knn_precision_recall
 

@@ -45,11 +45,13 @@ def inception_score_from_logits(
     splits = int(min(splits, n // 2)) or 1
     if n < 2:
         raise ValueError("need >=2 samples for an inception score")
-    probs = _softmax(logits)
+    # floor: softmax can underflow to exactly 0.0 in float (max-logit
+    # margin > ~745), and 0 * log(0) would be NaN; 1e-300 keeps the
+    # p*log(p) contribution of such entries at a true ~0
+    probs = np.maximum(_softmax(logits), 1e-300)
     scores = []
     for chunk in np.array_split(probs, splits):
         marginal = chunk.mean(axis=0, keepdims=True)
-        # KL(p||m) row-wise; epsilon-free: softmax output is strictly >0
         kl = np.sum(chunk * (np.log(chunk) - np.log(marginal)), axis=1)
         scores.append(float(np.exp(kl.mean())))
     scores = np.asarray(scores)

@@ -76,6 +76,16 @@ def kernel_inception_distance(
             f"{real.shape} and {fake.shape}"
         )
     m = int(min(subset_size, len(real), len(fake)))
+    if m >= len(real) and m >= len(fake):
+        # both pools fit in one subset: every draw is a permutation of the
+        # same full sets and MMD^2 is permutation-invariant — compute once
+        # and report honestly that there is no subset spread to estimate
+        return {
+            "kid_mean": polynomial_mmd2(real, fake),
+            "kid_std": 0.0,
+            "kid_subset_size": m,
+            "kid_n_subsets": 1,
+        }
     rng = np.random.default_rng(seed)
     vals = np.empty((n_subsets,), np.float64)
     for i in range(n_subsets):

@@ -51,15 +51,21 @@ def _known_durations():
     path = pathlib.Path(__file__).with_name("durations.txt")
     out = {}
     try:
-        for line in path.read_text().splitlines():
-            parts = line.split()
-            if len(parts) == 2:
-                # normalize to the part after the tests/ dir so nodeids
-                # match regardless of the invocation cwd
-                name = parts[0].split("tests/")[-1]
-                out[name] = float(parts[1])
-    except (OSError, ValueError):
-        pass
+        lines = path.read_text().splitlines()
+    except OSError:
+        return out
+    for line in lines:
+        parts = line.split()
+        if len(parts) != 2:
+            continue
+        # normalize to the part after the tests/ dir so nodeids match
+        # regardless of the invocation cwd; skip (don't abort on) a
+        # malformed duration so one bad line can't silently unmark every
+        # slow test listed after it
+        try:
+            out[parts[0].split("tests/")[-1]] = float(parts[1])
+        except ValueError:
+            continue
     return out
 
 

@@ -35,6 +35,16 @@ def test_is_confident_but_collapsed_scores_one():
     assert r["is_mean"] == pytest.approx(1.0, abs=1e-9)
 
 
+def test_is_survives_saturated_logits():
+    """Logit margins past float exp underflow (softmax rows containing
+    exact 0.0) must not produce NaN (0*log 0); a collapsed saturated
+    predictor still scores exactly 1."""
+    logits = np.eye(4)[np.zeros(8, int)] * 800.0
+    r = inception_score_from_logits(logits, splits=2)
+    assert np.isfinite(r["is_mean"])
+    assert r["is_mean"] == pytest.approx(1.0, abs=1e-9)
+
+
 def test_is_split_clamp_and_validation():
     r = inception_score_from_logits(np.zeros((5, 4)), splits=10)
     assert r["is_splits"] == 2  # clamped to n // 2
@@ -136,3 +146,24 @@ def test_fid_from_engine_is_wiring():
         fid_mod._make_feature_fn = orig
     assert set(m) >= {"fid", "is_mean", "is_std", "is_splits"}
     assert np.isfinite(m["is_mean"]) and m["is_mean"] >= 1.0 - 1e-9
+    # IS-only: the real side must NOT be teed (no extra Inception pass)
+    assert m["extras_n_fake"] == 16 and "extras_n_real" not in m
+
+
+def test_fid_from_engine_is_requires_fc_before_sampling():
+    """A param tree without the fc head fails BEFORE any sampling work."""
+    from probabilisticdeepdiffusionmodels_tpu.evals.fid import (
+        compute_fid_from_engine,
+    )
+
+    class ExplodingEngine:
+        mesh = None
+
+        def generate_images(self, *a, **kw):
+            raise AssertionError("sampling ran before the fc validation")
+
+    with pytest.raises(ValueError, match="fc"):
+        compute_fid_from_engine(
+            ExplodingEngine(), [], n_samples=4, minibatch=4,
+            inception_params={}, with_inception_score=True,
+        )

@@ -50,6 +50,23 @@ def test_kid_separates_shifted_distribution():
     assert diff["kid_mean"] > 0
 
 
+def test_kid_degenerate_subsets_compute_once():
+    """Both pools <= subset_size: every draw would be a permutation of the
+    same full sets, so KID computes the (permutation-invariant) MMD^2 once
+    and reports n_subsets=1 / std=0 instead of 100 identical passes."""
+    rng = np.random.default_rng(5)
+    real = rng.normal(size=(50, 8))
+    fake = rng.normal(size=(50, 8)) + 0.5
+    r = kernel_inception_distance(real, fake, subset_size=100, n_subsets=100)
+    assert r["kid_n_subsets"] == 1 and r["kid_std"] == 0.0
+    assert r["kid_subset_size"] == 50
+    assert r["kid_mean"] == pytest.approx(polynomial_mmd2(real, fake))
+    # one side still larger than the subset: the spread is real, keep it
+    fake2 = rng.normal(size=(80, 8)) + 0.5
+    r2 = kernel_inception_distance(real, fake2, subset_size=100, n_subsets=10)
+    assert r2["kid_n_subsets"] == 10
+
+
 def test_kid_subset_clamp_and_validation():
     rng = np.random.default_rng(3)
     r = kernel_inception_distance(
