@@ -155,6 +155,7 @@ def run_sampling(cfg) -> None:
             dpm_solver=cfg.get("sampler") == "dpmpp",
             dpm_order=int(cfg.get("dpm_order", 2)),
             heun=cfg.get("sampler") == "heun",
+            heun_churn=float(cfg.get("heun_churn", 0.0)),
             **gen_kwargs,
         )
         fig, axes = plt.subplots(1, n, figsize=(2 * n, 2.2))

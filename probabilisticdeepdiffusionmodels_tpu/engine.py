@@ -622,7 +622,8 @@ class DiffusionEngine:
     def generate_images(
         self, n=1, minibatch=4, mean_only=False, seed=None, use_ema=True,
         num_sample_steps=None, ddim=False, ddim_eta=0.0,
-        dpm_solver=False, dpm_order=2, heun=False, shard_mode="batch",
+        dpm_solver=False, dpm_order=2, heun=False, heun_churn=0.0,
+        shard_mode="batch",
         y=None, guidance_scale=None, guidance_interval=None,
         encoder_reuse=None, x_T=None,
         reuse_exact_head=None, reuse_exact_tail=None,
@@ -633,7 +634,8 @@ class DiffusionEngine:
         strided/DDIM fast sampling (BASELINE config #3 extension),
         DPM-Solver++ multistep sampling (``dpm_solver=True``,
         ``dpm_order`` in {1, 2}), and EDM Heun 2nd-order sampling
-        (``heun=True``, arXiv:2206.00364 — 2 model evals per step).
+        (``heun=True``, arXiv:2206.00364 — 2 model evals per step;
+        ``heun_churn`` > 0 enables the stochastic Alg.-2 churn).
 
         ``y``: per-image conditioning of length n — class labels for a
         class-conditional UNet, low-res images for SuperResModel.
@@ -756,6 +758,7 @@ class DiffusionEngine:
                         "heun", cfg_scale=guidance_scale,
                         cfg_interval=guidance_interval,
                         clip=self.clip_while_generating,
+                        s_churn=float(heun_churn),
                     )
             elif ddim:
                 knobs["reuse_cache_middle"] = _ovr(

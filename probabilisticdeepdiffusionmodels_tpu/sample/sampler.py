@@ -737,13 +737,17 @@ def heun_sample_loop(
     clip: bool = False,
     y: Optional[jax.Array] = None,
     timestep_map: Optional[jax.Array] = None,
+    s_churn: float = 0.0,
+    s_noise: float = 1.0,
+    s_tmin: float = 0.0,
+    s_tmax: float = float("inf"),
 ) -> jax.Array:
-    """EDM deterministic Heun sampling (Karras et al., arXiv:2206.00364
-    Alg. 1, S_churn=0) — a 2nd-order single-step ODE solver, complementing
-    the multistep DPM-Solver++(2M): same O(h^2) local accuracy with no
-    history carry, at 2 model evals per step (a fast-sampling capability
-    beyond the reference, whose sampler runs every step ancestrally,
-    src/engine.py:385-403).
+    """EDM Heun sampling (Karras et al., arXiv:2206.00364 Alg. 2; the
+    default S_churn=0 is the deterministic Alg. 1) — a 2nd-order
+    single-step ODE solver, complementing the multistep DPM-Solver++(2M):
+    same O(h^2) local accuracy with no history carry, at 2 model evals per
+    step (a fast-sampling capability beyond the reference, whose sampler
+    runs every step ancestrally, src/engine.py:385-403).
 
     The probability-flow ODE in EDM's scaled coordinates
     (x_hat = x/sqrt(abar), sigma = sqrt(1-abar)/sqrt(abar)) is
@@ -759,8 +763,18 @@ def heun_sample_loop(
     eps = (x_hat - clip(x0)) / sigma (unlike DDIM's clipped-x0 +
     unclipped-eps mix, which collapses at many steps — docs/RESULTS.md).
     Combine with respaced_schedule ("karrasN" spacing is the EDM-native
-    choice); ``key`` is accepted for endpoint-signature uniformity but
-    unused (deterministic).
+    choice); with ``s_churn=0`` the ``key`` argument is unused
+    (deterministic).
+
+    ``s_churn > 0`` enables EDM's stochastic churn (Alg. 2): per step,
+    noise is first ADDED to raise sigma_t to sigma_hat =
+    sigma_t*(1+gamma), gamma = min(s_churn/N, sqrt(2)-1) wherever
+    sigma_t in [s_tmin, s_tmax], then the Heun step integrates down from
+    sigma_hat.  The churned state is rescaled with the VP identity
+    abar = 1/(1+sigma^2) before the model call; the model itself is
+    evaluated at the nearest grid timestep (the standard discrete-model
+    retrofit — exact in scaling, approximate only in the conditioning
+    timestep, by at most the gamma factor).  Requires ``key``.
 
     Regime note (measured on the analytic Gaussian-data ODE,
     tests/test_heun.py): the 2nd-order gain kicks in from ~10 steps up
@@ -772,9 +786,13 @@ def heun_sample_loop(
     T = t_start if t_start is not None else tables.diffusion_steps
     b = x_t.shape[0]
     ndim = x_t.ndim
+    churn = float(s_churn) > 0.0
+    if churn and key is None:
+        raise ValueError("s_churn > 0 needs a PRNG key")
 
     abar = tables.alphas_hat
     abar_prev = tables.alphas_hat_prev  # exactly 1.0 at t=1 (sigma_0 = 0)
+    gamma_max = min(float(s_churn) / max(T, 1), 2.0 ** 0.5 - 1.0)
 
     def slope(x, t, a, sigma):
         """d x_hat / d sigma at (x, t); == model eps, or the consistent
@@ -791,10 +809,28 @@ def heun_sample_loop(
         a_s = D.expand_to(abar_prev, t, ndim)
         sig_t = jnp.sqrt((1.0 - a_t) / a_t)
         sig_s = jnp.sqrt(jnp.maximum(1.0 - a_s, 0.0) / a_s)
-        d_t = slope(x, t, a_t, sig_t)
 
-        x_hat = x / jnp.sqrt(a_t)
-        x_hat_euler = x_hat + (sig_s - sig_t) * d_t
+        if churn:
+            # raise the noise level to sigma_hat, then integrate down from
+            # there; the s_churn=0 build keeps the original bitwise path
+            gamma = jnp.where(
+                (sig_t >= s_tmin) & (sig_t <= s_tmax), gamma_max, 0.0
+            )
+            sig_hat = sig_t * (1.0 + gamma)
+            z = jax.random.normal(
+                jax.random.fold_in(key, t_step), x.shape, x.dtype
+            )
+            x_hat = x / jnp.sqrt(a_t) + jnp.sqrt(
+                jnp.maximum(sig_hat**2 - sig_t**2, 0.0)
+            ) * (s_noise * z)
+            a_hat = 1.0 / (1.0 + sig_hat**2)  # VP: abar = 1/(1+sigma^2)
+            d_t = slope(x_hat * jnp.sqrt(a_hat), t, a_hat, sig_hat)
+        else:
+            sig_hat = sig_t
+            x_hat = x / jnp.sqrt(a_t)
+            d_t = slope(x, t, a_t, sig_t)
+
+        x_hat_euler = x_hat + (sig_s - sig_hat) * d_t
         x_euler = jnp.sqrt(a_s) * x_hat_euler
 
         # correction slope at the target time; on the final step (t=1,
@@ -802,7 +838,7 @@ def heun_sample_loop(
         # where below
         s_safe = jnp.full((b,), jnp.maximum(t_step - 1, 1), dtype=jnp.int32)
         d_s = slope(x_euler, s_safe, a_s, sig_s)
-        x_hat_heun = x_hat + (sig_s - sig_t) * 0.5 * (d_t + d_s)
+        x_hat_heun = x_hat + (sig_s - sig_hat) * 0.5 * (d_t + d_s)
         x_heun = jnp.sqrt(a_s) * x_hat_heun
         return jnp.where(t_step == 1, x_euler, x_heun), None
 

@@ -150,6 +150,65 @@ def test_heun_jits_finite_with_clip(small_unet):
     assert float(jnp.max(jnp.abs(out))) < 50.0  # scaled-space round trip sane
 
 
+def test_churn_zero_is_bitwise_deterministic_path(small_unet):
+    """s_churn=0 must keep the original deterministic trajectory exactly
+    (the churn build is a separate static branch)."""
+    model, params, apply_fn = small_unet
+    sched = NoiseSchedule.create(diffusion_steps=10, mode="cosine")
+    tables = DiffusionTables.from_schedule(sched)
+    x_T = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 3), jnp.float32)
+    a = heun_sample_loop(apply_fn, params, tables, x_T, clip=False)
+    b = heun_sample_loop(
+        apply_fn, params, tables, x_T, jax.random.PRNGKey(9),
+        clip=False, s_churn=0.0,
+    )
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_churn_is_stochastic_and_finite(small_unet):
+    model, params, apply_fn = small_unet
+    sched = NoiseSchedule.create(diffusion_steps=10, mode="cosine")
+    tables = DiffusionTables.from_schedule(sched)
+    x_T = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 3), jnp.float32)
+    kw = dict(clip=True, s_churn=5.0)
+    o1 = heun_sample_loop(
+        apply_fn, params, tables, x_T, jax.random.PRNGKey(1), **kw
+    )
+    o2 = heun_sample_loop(
+        apply_fn, params, tables, x_T, jax.random.PRNGKey(2), **kw
+    )
+    assert bool(jnp.all(jnp.isfinite(o1))) and bool(jnp.all(jnp.isfinite(o2)))
+    assert not np.array_equal(np.asarray(o1), np.asarray(o2))  # key matters
+    det = heun_sample_loop(apply_fn, params, tables, x_T, clip=True)
+    assert not np.array_equal(np.asarray(o1), np.asarray(det))
+    with pytest.raises(ValueError, match="key"):
+        heun_sample_loop(apply_fn, params, tables, x_T, clip=True, s_churn=1.0)
+
+
+def test_churn_preserves_analytic_terminal_distribution():
+    """On the exact Gaussian denoiser (data ~ N(0, I)), a heavily-churned
+    chain decorrelates from its specific x_T (that's the point of churn:
+    the endpoint is a fresh posterior sample, RMSE-to-the-deterministic-
+    map ~ sqrt(2)), but the TERMINAL DISTRIBUTION must stay N(0, 1) —
+    which pins the VP rescale abar=1/(1+sigma^2) of the churned state: a
+    wrong abar mis-scales every model input and drifts the output
+    magnitude."""
+    T = 1000
+    sched = NoiseSchedule.create(diffusion_steps=T, mode="linear")
+    full_abar = np.asarray(DiffusionTables.from_schedule(sched).alphas_hat)
+    apply_fn = _gaussian_denoiser(full_abar)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (64, 8, 8, 3), jnp.float32)
+    sub, tmap = respaced_schedule(sched, space_timesteps(T, 25))
+    coarse = DiffusionTables.from_schedule(sub)
+    churned = np.asarray(heun_sample_loop(
+        apply_fn, None, coarse, x_T, jax.random.PRNGKey(3),
+        clip=False, timestep_map=jnp.asarray(tmap), s_churn=10.0,
+    ))
+    assert np.isfinite(churned).all()
+    assert abs(churned.std() - 1.0) < 0.12, churned.std()
+    assert abs(churned.mean()) < 0.05, churned.mean()
+
+
 def test_engine_endpoint_heun():
     from probabilisticdeepdiffusionmodels_tpu.engine import DiffusionEngine
 
@@ -175,6 +234,11 @@ def test_engine_endpoint_heun():
         n=2, minibatch=2, seed=0, heun=True, num_sample_steps="karras4"
     )
     assert np.isfinite(imgs_k).all()
+    imgs_c = eng.generate_images(
+        n=2, minibatch=2, seed=0, heun=True, heun_churn=5.0
+    )
+    assert np.isfinite(imgs_c).all()
+    assert not np.array_equal(imgs_c, imgs)  # churn really flows through
     with pytest.raises(ValueError):
         eng.generate_images(n=2, seed=0, heun=True, ddim=True)
     with pytest.raises(ValueError):
