@@ -96,6 +96,21 @@ CONFIG_SETS = {
         ("heun_25", dict(heun=True, num_sample_steps=25)),
         ("heun_k25", dict(heun=True, num_sample_steps="karras25")),
     ],
+    # EDM Alg.-2 stochastic churn sweep on the Heun solver (r4): does
+    # re-noising during integration buy distributional quality on an
+    # imperfect model, as EDM reports for small datasets?
+    "churn": [
+        ("exact", dict(encoder_reuse=1)),
+        ("heun_25", dict(heun=True, num_sample_steps=25)),
+        ("heun_25_churn2", dict(heun=True, num_sample_steps=25,
+                                heun_churn=2.0)),
+        ("heun_25_churn5", dict(heun=True, num_sample_steps=25,
+                                heun_churn=5.0)),
+        ("heun_25_churn10", dict(heun=True, num_sample_steps=25,
+                                 heun_churn=10.0)),
+        ("heun_10_churn5", dict(heun=True, num_sample_steps=10,
+                                heun_churn=5.0)),
+    ],
     # probability-flow-ODE convergence check: full-T DDIM (eta=0) and
     # DPM++(2M) discretize the SAME ODE — at T=1000 both must land at its
     # limit, which anchors whether dpmpp's few-step numbers are the
