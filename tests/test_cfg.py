@@ -238,7 +238,9 @@ def test_engine_guided_sampling_all_loops():
     y = jnp.asarray([0, 1, 2], jnp.int32)
     base = eng.generate_images(n=3, minibatch=3, y=y, seed=3)
     for kw in (dict(), dict(ddim=True, num_sample_steps=6),
-               dict(dpm_solver=True, num_sample_steps=6)):
+               dict(dpm_solver=True, num_sample_steps=6),
+               dict(heun=True, num_sample_steps=6),
+               dict(heun=True, heun_churn=3.0, num_sample_steps=6)):
         guided = eng.generate_images(
             n=3, minibatch=3, y=y, seed=3, guidance_scale=2.0, **kw
         )
