@@ -116,6 +116,38 @@ def test_respaced_fast_sampling(small_unet):
     assert out.shape == x_T.shape and bool(jnp.all(jnp.isfinite(out)))
 
 
+def test_dpmpp_converges_on_analytic_ode():
+    """Closed-form Gaussian-data PF-ODE (see test_heun._gaussian_denoiser):
+    DPM++(2M) error must shrink super-linearly with the grid (measured
+    0.342 -> 0.078 for 10 -> 25 uniform steps, a 4.4x drop for 2.5x
+    steps).  Note the honest finding (matches the trained-twin evals):
+    on THIS problem 2M does NOT beat 1st-order DDIM at coarse grids — the
+    multistep x0-extrapolation overshoots where x0(lambda) bends hard,
+    while DDIM is near-exact in the linear x_hat~sigma regime."""
+    from test_heun import _gaussian_denoiser
+
+    T = 1000
+    sched = NoiseSchedule.create(diffusion_steps=T, mode="linear")
+    full_abar = np.asarray(DiffusionTables.from_schedule(sched).alphas_hat)
+    apply_fn = _gaussian_denoiser(full_abar)
+    x_T = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 3), jnp.float32)
+    a_T = full_abar[-1]
+    x0_exact = np.asarray(x_T) / np.sqrt(a_T) * np.sqrt(
+        1.0 / (1.0 + (1.0 - a_T) / a_T)
+    )
+    errs = {}
+    for n in (10, 25):
+        sub, tmap = respaced_schedule(sched, space_timesteps(T, n))
+        coarse = DiffusionTables.from_schedule(sub)
+        m = dpmpp_sample_loop(
+            apply_fn, None, coarse, x_T, clip=False,
+            timestep_map=jnp.asarray(tmap), order=2,
+        )
+        errs[n] = float(jnp.sqrt(jnp.mean((m - x0_exact) ** 2)))
+    assert np.isfinite(errs[25])
+    assert errs[25] < errs[10] / 3.0, errs
+
+
 def test_engine_endpoint_dpm_solver():
     from probabilisticdeepdiffusionmodels_tpu.engine import DiffusionEngine
 
