@@ -26,8 +26,12 @@ SMALL_COMMON="model=unet_small data=synthetic data.channels=3 data.n=2048 \
   trainer.max_epochs=150 trainer.check_val_every_n_epoch=10 \
   trainer.limit_test_batches=4 visualization=none out_dir=runs"
 
-# 1. eps twin retrain (comparison anchor for the v / min-snr twins)
-if [ ! -f runs/synstudy_linear_T1000/final_test.json ]; then
+# 1. eps twin retrain (comparison anchor for the v / min-snr twins).
+# Skipped once its eval artifact exists: after a sandbox reset wipes runs/,
+# retraining the twin serves nothing if docs/results/vstudy_eps.json is
+# already committed.
+if [ ! -f docs/results/vstudy_eps.json ] \
+   && [ ! -f runs/synstudy_linear_T1000/final_test.json ]; then
   echo "=== [1] eps twin training $(date +%H:%M) ==="
   rm -rf runs/synstudy_linear_T1000
   timeout 5400 python -m probabilisticdeepdiffusionmodels_tpu.cli.train \
