@@ -121,11 +121,13 @@ def run_sampling(cfg) -> None:
         print(f"[sample] regular viz written to {media_dir}")
 
     if (cfg.get("num_sample_steps")
-            or cfg.get("sampler") in ("ddim", "dpmpp", "heun")
+            or cfg.get("sampler") in ("ddim", "dpmpp", "heun", "edm")
             or cfg.get("guidance_scale") is not None):
         # fast-sampler generation grid (strided/DDIM, BASELINE config #3;
         # sampler=dpmpp selects DPM-Solver++(2M), sampler=heun the EDM
-        # Heun 2nd-order solver)
+        # Heun 2nd-order solver retrofitted onto the VP tables, and
+        # sampler=edm the NATIVE sigma-space EDM sampler — the latter
+        # needs a run trained with engine.prediction_type=edm)
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -156,6 +158,8 @@ def run_sampling(cfg) -> None:
             dpm_order=int(cfg.get("dpm_order", 2)),
             heun=cfg.get("sampler") == "heun",
             heun_churn=float(cfg.get("heun_churn", 0.0)),
+            edm=cfg.get("sampler") == "edm",
+            edm_churn=float(cfg.get("edm_churn", 0.0)),
             **gen_kwargs,
         )
         fig, axes = plt.subplots(1, n, figsize=(2 * n, 2.2))

@@ -6,6 +6,12 @@ from .schedules import (
     betas_for_alpha_bar,
     mixed_alpha_bar,
 )
+from .edm import (
+    EDMConfig,
+    karras_sigma_grid,
+    loss_weight as edm_loss_weight,
+    precond as edm_precond,
+)
 from .diffusion import (
     DiffusionTables,
     q_mean_std,

@@ -38,13 +38,16 @@ from .parallel.mesh import (
     shard_batch,
     spatial_sharding,
 )
+from .core.edm import EDMConfig
 from .sample.sampler import (
     ddim_invert_loop,
     ddim_sample_loop,
     dpmpp_sample_loop,
+    edm_sample_loop,
     heun_sample_loop,
     inpaint_sample_loop,
     make_cfg_apply_fn,
+    make_edm_to_eps_apply_fn,
     make_v_to_eps_apply_fn,
     make_x0_to_eps_apply_fn,
     p_sample_loop,
@@ -52,7 +55,12 @@ from .sample.sampler import (
     space_timesteps,
 )
 from .train.state import TrainState
-from .train.step import make_eval_step, make_train_step
+from .train.step import (
+    make_edm_eval_step,
+    make_edm_train_step,
+    make_eval_step,
+    make_train_step,
+)
 
 __all__ = ["DiffusionEngine", "make_lr_schedule"]
 
@@ -164,6 +172,7 @@ class DiffusionEngine:
         prediction_type: str = "epsilon",
         loss_weighting: str = "none",
         snr_gamma: float = 5.0,
+        edm_config: Optional[Dict[str, Any]] = None,
         encoder_reuse: int = 1,
         reuse_exact_head: int = 0,
         reuse_exact_tail: int = 0,
@@ -195,6 +204,7 @@ class DiffusionEngine:
             prediction_type=prediction_type,
             loss_weighting=loss_weighting,
             snr_gamma=snr_gamma,
+            edm_config=(None if edm_config is None else dict(edm_config)),
             encoder_reuse=encoder_reuse,
             reuse_exact_head=reuse_exact_head,
             reuse_exact_tail=reuse_exact_tail,
@@ -332,10 +342,37 @@ class DiffusionEngine:
         # predict_xstart), beyond the reference: training regresses the
         # chosen target; every inference consumer (samplers, NLL, FID,
         # guidance) sees the eps-view wrapper so nothing else changes.
-        if prediction_type not in ("epsilon", "v", "x0"):
+        if prediction_type not in ("epsilon", "v", "x0", "edm"):
             raise ValueError(f'Unknown prediction_type: "{prediction_type}"')
         self.prediction_type = prediction_type
-        if prediction_type == "v":
+        # prediction_type="edm" (arXiv:2206.00364, beyond the reference):
+        # continuous-sigma preconditioned denoiser training; the eps-view
+        # wrapper lets every table-driven consumer (samplers, NLL, CFG,
+        # FID) drive the EDM model, and edm_sample_loop provides the
+        # native sigma-space Heun sampler (generate_images(edm=True)).
+        self.edm = None
+        if prediction_type == "edm":
+            if loss_type == "hybrid":
+                raise ValueError(
+                    'prediction_type="edm" has no learned-sigma head; '
+                    'use loss_type="simple"'
+                )
+            if sampling == "importance":
+                raise ValueError(
+                    'prediction_type="edm" draws sigma log-normally '
+                    "(P_mean/P_std are its importance choice); "
+                    'use sampling="uniform"'
+                )
+            if loss_weighting != "none":
+                raise ValueError(
+                    'prediction_type="edm" carries its own lambda(sigma) '
+                    'weighting; use loss_weighting="none"'
+                )
+            self.edm = EDMConfig(**(edm_config or {}))
+            self._apply = make_edm_to_eps_apply_fn(
+                self._apply_raw, self.tables, self.edm.sigma_data
+            )
+        elif prediction_type == "v":
             self._apply = make_v_to_eps_apply_fn(self._apply_raw, self.tables)
         elif prediction_type == "x0":
             self._apply = make_x0_to_eps_apply_fn(
@@ -359,30 +396,54 @@ class DiffusionEngine:
         self.loss_weighting = loss_weighting
         self.snr_gamma = float(snr_gamma)
         dropout = float(dict(model_config).get("dropout", 0) or 0) > 0
-        self._train_step = jax.jit(
-            make_train_step(
-                self._apply_raw,
-                self.tables,
-                sampling=sampling,
-                loss_type=loss_type,
-                dropout=dropout,
-                watch=watch,
-                class_dropout_prob=self.class_dropout_prob,
-                null_class=(
-                    self.model.num_classes if self.class_dropout_prob else None
+        if prediction_type == "edm":
+            self._train_step = jax.jit(
+                make_edm_train_step(
+                    self._apply_raw,
+                    self.tables,
+                    self.edm,
+                    dropout=dropout,
+                    watch=watch,
+                    class_dropout_prob=self.class_dropout_prob,
+                    null_class=(
+                        self.model.num_classes
+                        if self.class_dropout_prob
+                        else None
+                    ),
                 ),
-                prediction_type=prediction_type,
-                loss_weighting=loss_weighting,
-                snr_gamma=self.snr_gamma,
-            ),
-            donate_argnums=(0,),
-        )
-        self._eval_step = jax.jit(
-            make_eval_step(
-                self._apply_raw, self.tables, prediction_type=prediction_type,
-                loss_weighting=loss_weighting, snr_gamma=self.snr_gamma,
+                donate_argnums=(0,),
             )
-        )
+            self._eval_step = jax.jit(
+                make_edm_eval_step(self._apply_raw, self.edm)
+            )
+        else:
+            self._train_step = jax.jit(
+                make_train_step(
+                    self._apply_raw,
+                    self.tables,
+                    sampling=sampling,
+                    loss_type=loss_type,
+                    dropout=dropout,
+                    watch=watch,
+                    class_dropout_prob=self.class_dropout_prob,
+                    null_class=(
+                        self.model.num_classes
+                        if self.class_dropout_prob
+                        else None
+                    ),
+                    prediction_type=prediction_type,
+                    loss_weighting=loss_weighting,
+                    snr_gamma=self.snr_gamma,
+                ),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                make_eval_step(
+                    self._apply_raw, self.tables,
+                    prediction_type=prediction_type,
+                    loss_weighting=loss_weighting, snr_gamma=self.snr_gamma,
+                )
+            )
         self._nll = jax.jit(
             functools.partial(
                 calculate_likelihood, self._apply, sigma_mode=self.sigma_mode
@@ -553,9 +614,16 @@ class DiffusionEngine:
                 "ddim_invert": ddim_invert_loop,
                 "dpmpp": dpmpp_sample_loop,
                 "heun": heun_sample_loop,
+                "edm": edm_sample_loop,
                 "inpaint": inpaint_sample_loop,
             }[loop_name]
-            apply_fn = self._apply
+            # the native EDM loop owns the preconditioning and calls the
+            # RAW network F (eq. 7); every table-driven loop gets the
+            # eps-view.  CFG wrapping is correct in both places (a lerp on
+            # F is a lerp on the denoised image: affine at fixed x, sigma).
+            apply_fn = (
+                self._apply_raw if loop_name == "edm" else self._apply
+            )
             if cfg_scale is not None:
                 apply_fn = make_cfg_apply_fn(
                     apply_fn, float(cfg_scale), self.model.num_classes,
@@ -623,6 +691,7 @@ class DiffusionEngine:
         self, n=1, minibatch=4, mean_only=False, seed=None, use_ema=True,
         num_sample_steps=None, ddim=False, ddim_eta=0.0,
         dpm_solver=False, dpm_order=2, heun=False, heun_churn=0.0,
+        edm=False, edm_churn=0.0,
         shard_mode="batch",
         y=None, guidance_scale=None, guidance_interval=None,
         encoder_reuse=None, x_T=None,
@@ -654,8 +723,29 @@ class DiffusionEngine:
         for this call (k>1 approximate, k=1 exact).
         ``x_T``: optional [n, ...] starting noise; when given, it replaces
         the seed-drawn x_T (the per-step z stream still comes from seed), so
-        callers can replay or perturb a specific chain."""
-        tables, tmap, _ = self._sample_tables(num_sample_steps)
+        callers can replay or perturb a specific chain.
+        ``edm=True`` (requires ``prediction_type="edm"``): native
+        sigma-space EDM Heun sampling over the continuous Karras grid —
+        ``num_sample_steps`` is the grid size (int, default 18, NOT a
+        table respacing) and ``edm_churn`` the Alg.-2 S_churn."""
+        if edm:
+            if self.prediction_type != "edm":
+                raise ValueError(
+                    'edm=True needs an engine with prediction_type="edm" '
+                    "(table-trained models should use heun=True, the "
+                    "VP-retrofitted solver)"
+                )
+            if num_sample_steps is not None and not isinstance(
+                num_sample_steps, int
+            ):
+                raise ValueError(
+                    "native EDM sampling takes an int num_sample_steps "
+                    "(the continuous-grid size); respacing specs like "
+                    '"karrasN" only apply to table-driven samplers'
+                )
+            tables, tmap = self.tables, None
+        else:
+            tables, tmap, _ = self._sample_tables(num_sample_steps)
         guidance_interval = self._validate_cfg(
             guidance_scale, guidance_interval, y
         )
@@ -733,11 +823,34 @@ class DiffusionEngine:
                     reuse_prior_noise, self.reuse_prior_noise
                 ),
             )
-            if sum((bool(ddim), bool(dpm_solver), bool(heun))) > 1:
+            if sum((bool(ddim), bool(dpm_solver), bool(heun), bool(edm))) > 1:
                 raise ValueError(
-                    "pass at most one of ddim / dpm_solver / heun"
+                    "pass at most one of ddim / dpm_solver / heun / edm"
                 )
-            if dpm_solver or heun:
+            if edm:
+                if reuse > 1 or any(knobs.values()):
+                    raise ValueError(
+                        "encoder_reuse / reuse calibration knobs are not "
+                        "supported on the native EDM path (the sigma-space "
+                        "solver has no VP encoder cache); clear them"
+                    )
+                if guidance_interval is not None:
+                    raise ValueError(
+                        "guidance_interval is defined in discrete timestep "
+                        "units and does not apply to the native EDM "
+                        "sampler; use plain guidance_scale"
+                    )
+                fn = self._sample_jit(
+                    "edm", cfg_scale=guidance_scale,
+                    clip=self.clip_while_generating,
+                    n_steps=int(num_sample_steps or 18),
+                    sigma_data=self.edm.sigma_data,
+                    sigma_min=self.edm.sigma_min,
+                    sigma_max=self.edm.sigma_max,
+                    rho=self.edm.rho,
+                    s_churn=float(edm_churn),
+                )
+            elif dpm_solver or heun:
                 which = "DPM-Solver++" if dpm_solver else "Heun"
                 if reuse > 1 or any(knobs.values()):
                     raise ValueError(

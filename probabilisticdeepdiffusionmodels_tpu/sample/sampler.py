@@ -42,10 +42,12 @@ __all__ = [
     "ddim_invert_loop",
     "dpmpp_sample_loop",
     "heun_sample_loop",
+    "edm_sample_loop",
     "inpaint_sample_loop",
     "make_cfg_apply_fn",
     "make_v_to_eps_apply_fn",
     "make_x0_to_eps_apply_fn",
+    "make_edm_to_eps_apply_fn",
     "space_timesteps",
     "respaced_schedule",
 ]
@@ -97,6 +99,58 @@ def make_x0_to_eps_apply_fn(apply_fn, tables: DiffusionTables):
     ``predict_xstart`` option, the reference's upstream) — see
     _make_to_eps_apply_fn for the contract."""
     return _make_to_eps_apply_fn(apply_fn, tables, D.eps_from_xstart)
+
+
+def make_edm_to_eps_apply_fn(apply_fn, tables: DiffusionTables,
+                             sigma_data: float):
+    """Eps-view of an EDM-preconditioned denoiser (arXiv:2206.00364) over
+    a discrete VP schedule, so every table-driven consumer — the
+    ancestral/DDIM/DPM++/Heun loops, the NLL evaluator, CFG, FID — can
+    drive an EDM-trained model unchanged.
+
+    Unlike the v/x0 wrappers (output-only conversions), EDM changes the
+    *model call itself*: the VP state x_t = sqrt(ab) x0 + sqrt(1-ab) eps
+    is rescaled to EDM's coordinates x_ve = x_t/sqrt(ab) = x0 + sigma n
+    with sigma = sqrt((1-ab)/ab), the network runs on the preconditioned
+    input (c_in x_ve, c_noise) — NOT on (x_t, t) — and the denoised
+    output converts back:
+
+        D = c_skip x_ve + c_out F(c_in x_ve, c_noise)
+        eps = (x_ve - D) / sigma.
+
+    ``t`` stays in original schedule units (the loops apply timestep_map
+    before this wrapper, exactly as for the other views), so respaced /
+    karras-snapped sampling evaluates at the right sigmas.
+    ``return_features`` / encoder-cache calls go through the same input
+    transform (an EDM model is only in-distribution on preconditioned
+    inputs) with the output passed through untouched.
+    """
+    from ..core.edm import precond
+
+    def eps_apply(params, x, t, y, **kwargs):
+        abar = D.expand_to(tables.alphas_hat, t, x.ndim)
+        sqrt_abar = jnp.sqrt(abar)
+        sigma = jnp.sqrt((1.0 - abar) / abar)
+        x_ve = x / sqrt_abar
+        c_skip, c_out, c_in, _ = precond(sigma, sigma_data)
+        # c_noise needs vector (not broadcast-to-image) shape for the
+        # model's timestep-embedding slot
+        abar_vec = D.gather(tables.alphas_hat, t)
+        sigma_vec = jnp.sqrt((1.0 - abar_vec) / abar_vec)
+        c_noise = jnp.log(sigma_vec) / 4.0
+        out = apply_fn(params, c_in * x_ve, c_noise, y, **kwargs)
+        if kwargs.get("return_features"):
+            return out
+        cache = None
+        if kwargs.get("return_cache"):
+            out, cache = out
+        denoised = c_skip * x_ve + c_out * out
+        eps = (x_ve - denoised) / sigma
+        if kwargs.get("return_cache"):
+            return eps, cache
+        return eps
+
+    return eps_apply
 
 
 def make_cfg_apply_fn(apply_fn, guidance_scale: float, null_class: int,
@@ -843,6 +897,102 @@ def heun_sample_loop(
         return jnp.where(t_step == 1, x_euler, x_heun), None
 
     x_final, _ = jax.lax.scan(body, x_t, jnp.arange(T, 0, -1))
+    return x_final
+
+
+def edm_sample_loop(
+    apply_fn: Callable,
+    params,
+    tables: DiffusionTables,
+    x_t: jax.Array,
+    key: Optional[jax.Array] = None,
+    *,
+    n_steps: int = 18,
+    sigma_data: float = 0.5,
+    sigma_min: float = 0.002,
+    sigma_max: float = 80.0,
+    rho: float = 7.0,
+    clip: bool = False,
+    y: Optional[jax.Array] = None,
+    timestep_map: Optional[jax.Array] = None,
+    s_churn: float = 0.0,
+    s_noise: float = 1.0,
+    s_tmin: float = 0.0,
+    s_tmax: float = float("inf"),
+) -> jax.Array:
+    """Native EDM sampling (arXiv:2206.00364 Alg. 2) for a model trained
+    with ``prediction_type="edm"``: Heun integration of the sigma-space
+    probability-flow ODE dx/dsigma = (x - D(x; sigma))/sigma over the
+    continuous rho-warped grid — no discrete schedule involved (contrast
+    heun_sample_loop, which retrofits the same solver onto VP tables
+    through the eps view).
+
+    ``apply_fn`` is the RAW network F: this loop owns the EDM
+    preconditioning (D = c_skip x + c_out F(c_in x, c_noise)), so wrapping
+    ``apply_fn`` in make_cfg_apply_fn guides correctly — a lerp on F is a
+    lerp on D (affine relation at fixed x, sigma).
+
+    ``x_t`` is standard normal noise (endpoint-uniform with the other
+    loops); the loop scales it to the prior x = sigma_0 * x_t itself.
+    ``tables``/``timestep_map`` are accepted for signature uniformity and
+    unused.  ``clip`` clamps the denoised image to [-1, 1] before the
+    slope — consistent (slope rebuilt from the clipped D), like the Heun
+    loop's clipped mode.  The final step (sigma -> 0) is Euler-only, as
+    in heun_sample_loop.  ``s_churn`` > 0 enables the stochastic churn
+    exactly as in Alg. 2 (here natively — no VP rescale needed);
+    requires ``key``.
+    """
+    from ..core.edm import karras_sigma_grid, precond
+
+    churn = float(s_churn) > 0.0
+    if churn and key is None:
+        raise ValueError("s_churn > 0 needs a PRNG key")
+    n = int(n_steps)
+    grid = karras_sigma_grid(n, sigma_min, sigma_max, rho)
+    sig_cur = jnp.asarray(grid, jnp.float32)
+    sig_next = jnp.asarray(
+        np.concatenate([grid[1:], [0.0]]), jnp.float32
+    )
+    b = x_t.shape[0]
+    gamma_max = min(float(s_churn) / n, 2.0 ** 0.5 - 1.0)
+
+    def denoise(x, sigma):
+        """D(x; sigma) for a scalar (per-step) sigma."""
+        c_skip, c_out, c_in, c_noise = precond(sigma, sigma_data)
+        t_vec = jnp.full((b,), c_noise, jnp.float32)
+        out = apply_fn(params, c_in * x, t_vec, y)
+        denoised = c_skip * x + c_out * out
+        if clip:
+            denoised = jnp.clip(denoised, -1.0, 1.0)
+        return denoised
+
+    def body(x, step):
+        sig_t, sig_s, i = step
+        if churn:
+            gamma = jnp.where(
+                (sig_t >= s_tmin) & (sig_t <= s_tmax), gamma_max, 0.0
+            )
+            sig_hat = sig_t * (1.0 + gamma)
+            z = jax.random.normal(
+                jax.random.fold_in(key, i), x.shape, x.dtype
+            )
+            x_hat = x + jnp.sqrt(
+                jnp.maximum(sig_hat**2 - sig_t**2, 0.0)
+            ) * (s_noise * z)
+        else:
+            sig_hat, x_hat = sig_t, x
+        d_t = (x_hat - denoise(x_hat, sig_hat)) / sig_hat
+        x_euler = x_hat + (sig_s - sig_hat) * d_t
+        # correction slope at the target sigma; evaluated at a safe sigma
+        # and discarded by the where on the final (sig_s == 0) step
+        sig_safe = jnp.maximum(sig_s, sigma_min)
+        d_s = (x_euler - denoise(x_euler, sig_safe)) / sig_safe
+        x_heun = x_hat + (sig_s - sig_hat) * 0.5 * (d_t + d_s)
+        return jnp.where(sig_s == 0.0, x_euler, x_heun), None
+
+    x = sig_cur[0] * x_t
+    steps = (sig_cur, sig_next, jnp.arange(n))
+    x_final, _ = jax.lax.scan(body, x, steps)
     return x_final
 
 

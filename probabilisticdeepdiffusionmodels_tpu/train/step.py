@@ -34,7 +34,13 @@ from ..core.diffusion import DiffusionTables
 from .samplers import sample_importance, sample_uniform
 from .state import TrainState
 
-__all__ = ["make_train_step", "make_eval_step", "global_norm"]
+__all__ = [
+    "make_train_step",
+    "make_eval_step",
+    "make_edm_train_step",
+    "make_edm_eval_step",
+    "global_norm",
+]
 
 
 def global_norm(tree) -> jax.Array:
@@ -249,5 +255,129 @@ def make_eval_step(
                 tables, t, snr_gamma, prediction_type
             )
         return jnp.mean(per_sample)
+
+    return step
+
+
+def _edm_noise_and_precond(edm, key_sig, key_noise, x0):
+    """Shared EDM noising: draw sigma log-normally (arXiv:2206.00364
+    eq. 8: ln sigma ~ N(P_mean, P_std^2)), noise x0 in sigma space, and
+    return everything the preconditioned loss needs."""
+    from ..core.edm import loss_weight, precond
+
+    b = x0.shape[0]
+    ln_sigma = edm.P_mean + edm.P_std * jax.random.normal(key_sig, (b,))
+    sigma = jnp.exp(ln_sigma)
+    sig_img = sigma.reshape((b,) + (1,) * (x0.ndim - 1))
+    noise = jax.random.normal(key_noise, x0.shape, x0.dtype)
+    x_sigma = x0 + sig_img * noise
+    c_skip, c_out, c_in, c_noise = precond(sig_img, edm.sigma_data)
+    w = loss_weight(sigma, edm.sigma_data)
+    return x_sigma, sigma, c_skip, c_out, c_in, c_noise.reshape((b,)), w
+
+
+def _edm_per_sample_loss(apply_fn, params, edm_parts, x0, y, **kwargs):
+    """lambda(sigma) * mean_pixels (D(x_sigma; sigma) - x0)^2 per sample."""
+    x_sigma, _, c_skip, c_out, c_in, c_noise, w = edm_parts
+    out = apply_fn(params, c_in * x_sigma, c_noise, y, **kwargs)
+    denoised = c_skip * x_sigma + c_out * out
+    return w * D.mean_flat(jnp.square(denoised - x0))
+
+
+def make_edm_train_step(
+    apply_fn: Callable,
+    tables: DiffusionTables,
+    edm,
+    *,
+    dropout: bool = False,
+    watch: bool = False,
+    class_dropout_prob: float = 0.0,
+    null_class: int = None,
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """The continuous-sigma EDM train step (arXiv:2206.00364 §5), the
+    ``prediction_type="edm"`` twin of make_train_step: same optimizer /
+    EMA / metrics plumbing, but sigma is drawn log-normally per sample
+    instead of a discrete t, the state is noised in sigma space
+    (x = x0 + sigma n — VE coordinates, no sqrt(ab) scaling), and the
+    loss is the preconditioned denoising objective
+
+        lambda(sigma) || c_skip x + c_out F(c_in x, c_noise) - x0 ||^2,
+
+    whose effective raw-network target is unit-variance at every sigma.
+
+    The per-t loss-history ring (quartile logging) is kept live by
+    bucketing each sigma onto the engine's discrete VP grid
+    (t = searchsorted over the schedule's own sigma table) — logging
+    only; importance sampling over sigma is a different mechanism
+    (P_mean/P_std already encode EDM's importance choice) and the engine
+    rejects sampling="importance" with EDM.  ``class_dropout_prob``
+    composes exactly as in make_train_step (CFG training).
+
+    ``tables`` is used ONLY for the history bucketing.
+    """
+    if class_dropout_prob and null_class is None:
+        raise ValueError("class_dropout_prob needs null_class (the index "
+                         "of the model's cfg_null_class embedding row)")
+    T = tables.diffusion_steps
+    # ascending-in-t VP sigma table for the history bucket map
+    sig_vp = jnp.sqrt((1.0 - tables.alphas_hat) / tables.alphas_hat)
+
+    def step(state: TrainState, x0: jax.Array, y=None):
+        rng = jax.random.fold_in(state.rng, state.step)
+        key_sig, key_noise, key_drop = jax.random.split(rng, 3)
+
+        if class_dropout_prob:
+            key_drop, key_cfg = jax.random.split(key_drop)
+            drop = jax.random.bernoulli(
+                key_cfg, class_dropout_prob, (x0.shape[0],)
+            )
+            y = jnp.where(drop, jnp.full_like(y, null_class), y)
+
+        parts = _edm_noise_and_precond(edm, key_sig, key_noise, x0)
+        sigma = parts[1]
+
+        def loss_fn(params):
+            kwargs = (
+                dict(rngs={"dropout": key_drop}, train=True) if dropout else {}
+            )
+            per_sample = _edm_per_sample_loss(
+                apply_fn, params, parts, x0, y, **kwargs
+            )
+            return jnp.mean(per_sample), {"mse_per_sample": per_sample}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+
+        t_bucket = jnp.clip(
+            jnp.searchsorted(sig_vp, sigma) + 1, 1, T
+        ).astype(jnp.int32)
+        new_history = state.loss_history.update(
+            t_bucket, jax.lax.stop_gradient(aux["mse_per_sample"])
+        )
+        state = state.replace(loss_history=new_history)
+        state = state.apply_gradients(grads)
+
+        metrics = {"loss": loss, "grad_norm": global_norm(grads)}
+        if watch:
+            metrics["grad_norm_per_module"] = {
+                k: global_norm(v) for k, v in grads.items()
+            }
+        return state, metrics
+
+    return step
+
+
+def make_edm_eval_step(apply_fn: Callable, edm) -> Callable:
+    """Validation loss for ``prediction_type="edm"``: the same
+    preconditioned objective under the same log-normal sigma draw, for a
+    given param set (params / ema_params), mirroring make_eval_step."""
+
+    def step(params, rng: jax.Array, x0: jax.Array, y=None):
+        key_sig, key_noise = jax.random.split(rng)
+        parts = _edm_noise_and_precond(edm, key_sig, key_noise, x0)
+        return jnp.mean(
+            _edm_per_sample_loss(apply_fn, params, parts, x0, y)
+        )
 
     return step

@@ -96,6 +96,22 @@ CONFIG_SETS = {
         ("heun_25", dict(heun=True, num_sample_steps=25)),
         ("heun_k25", dict(heun=True, num_sample_steps="karras25")),
     ],
+    # EDM-native study (round 4): a twin trained with
+    # engine.prediction_type=edm (arXiv:2206.00364 continuous-sigma
+    # preconditioned objective) — the native sigma-space Heun sampler
+    # at several grid sizes (NFE ~= 2N-1) vs the table-driven eps-views
+    # of the SAME model, so the comparison isolates sampler choice from
+    # parameterization
+    "edm": [
+        ("exact", dict(encoder_reuse=1)),
+        ("ddim_50", dict(ddim=True, num_sample_steps=50)),
+        ("dpmpp_10", dict(dpm_solver=True, num_sample_steps=10)),
+        ("edm_10", dict(edm=True, num_sample_steps=10)),
+        ("edm_18", dict(edm=True, num_sample_steps=18)),
+        ("edm_32", dict(edm=True, num_sample_steps=32)),
+        ("edm_18_churn5", dict(edm=True, num_sample_steps=18,
+                               edm_churn=5.0)),
+    ],
     # EDM Alg.-2 stochastic churn sweep on the Heun solver (r4): does
     # re-noising during integration buy distributional quality on an
     # imperfect model, as EDM reports for small datasets?
