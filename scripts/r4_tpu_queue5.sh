@@ -53,4 +53,32 @@ if [ ! -f docs/results/edm_study.json ] \
     2>&1 | grep -v WARNING | tail -12
 fi
 
+# 3. v-trained flagship twin: the karras study on the eps flagship showed
+# every few-step ODE arm capped by the eps parameterization's high-t
+# conditioning; the twins table says v fixes exactly that.  Train the
+# flagship at prediction_type=v and re-run the karras set to measure the
+# best-known fast-sampling config (v + heun_k10) at flagship scale.
+if [ ! -f runs/flagship_linear_T1000_v/final_test.json ]; then
+  echo "=== [3] v flagship training $(date +%H:%M) ==="
+  rm -rf runs/flagship_linear_T1000_v
+  timeout 14400 python -m probabilisticdeepdiffusionmodels_tpu.cli.train \
+    model=unet data=synthetic data.channels=3 data.n=2048 \
+    data.batch_size=128 data.num_samples_per_epoch=2048 engine=cifar10 \
+    engine.resolution=32 engine.ema=0.995 engine.optimizer_config.lr=2e-4 \
+    engine.diffusion_steps=1000 engine.mode=linear \
+    engine.prediction_type=v \
+    trainer.max_epochs=300 trainer.check_val_every_n_epoch=10 \
+    trainer.limit_test_batches=4 visualization=none out_dir=runs \
+    run_name=flagship_linear_T1000_v 2>&1 | grep -v WARNING | tail -3
+fi
+
+# 4. karras set on the v flagship
+if [ ! -f docs/results/karras_spacing_v.json ] \
+   && [ -f runs/flagship_linear_T1000_v/final_test.json ]; then
+  echo "=== [4] v-flagship karras study $(date +%H:%M) ==="
+  timeout 5400 python scripts/eval_reuse_distributional.py \
+    runs/flagship_linear_T1000_v 128 karras karras_spacing_v.json \
+    2>&1 | grep -v WARNING | tail -14
+fi
+
 echo "=== r4 TPU queue 5 complete $(date +%H:%M) ==="
