@@ -1049,6 +1049,14 @@ class DiffusionEngine:
         'up': [...]} (reference UNetModel.get_feature_vectors,
         src/modules/unet.py:497-527)."""
         tb = jnp.full((x.shape[0],), t, jnp.int32) if np.isscalar(t) else jnp.asarray(t)
+        if self.prediction_type == "edm":
+            # an EDM net is only in-distribution on preconditioned inputs;
+            # the eps-view wrapper applies the (c_in x_ve, c_noise)
+            # transform and passes feature dicts through untouched
+            return self._apply(
+                self.params(use_ema), jnp.asarray(x), tb, y,
+                return_features=True,
+            )
         return self.model.apply(
             {"params": self.params(use_ema)}, jnp.asarray(x), tb, y,
             return_features=True,

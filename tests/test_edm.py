@@ -245,6 +245,26 @@ def test_engine_edm_trains_and_samples():
         eng.generate_images(n=1, minibatch=1, edm=True, encoder_reuse=3)
 
 
+def test_engine_edm_feature_vectors_are_preconditioned():
+    """get_feature_vectors must route through the EDM input transform —
+    the raw net is only in-distribution on (c_in x_ve, c_noise); feeding
+    raw (x, t) would silently extract out-of-distribution features."""
+    eng = _edm_engine()
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 1))
+    feats = eng.get_feature_vectors(x, 5)
+    assert set(feats) >= {"down", "middle", "up"}
+    for leaf in jax.tree.leaves(feats):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+    # must differ from the raw-input call (the preconditioning is real)
+    raw = eng.model.apply(
+        {"params": eng.params()}, x, jnp.full((2,), 5, jnp.int32), None,
+        return_features=True,
+    )
+    assert not np.allclose(
+        np.asarray(feats["middle"]), np.asarray(raw["middle"])
+    )
+
+
 def test_engine_edm_validation_step_uses_edm_loss():
     eng = _edm_engine()
     x = jax.random.normal(jax.random.PRNGKey(0), (8, 8, 8, 1))
