@@ -263,6 +263,12 @@ def test_engine_edm_feature_vectors_are_preconditioned():
     assert not np.allclose(
         np.asarray(feats["middle"]), np.asarray(raw["middle"])
     )
+    # out-of-range t must fail loudly: the wrapper's table gathers would
+    # silently wrap (t=0 -> sigma_max) or NaN-fill (t>T)
+    with pytest.raises(ValueError, match=r"t must be in \[1, 10\]"):
+        eng.get_feature_vectors(x, 0)
+    with pytest.raises(ValueError, match=r"t must be in \[1, 10\]"):
+        eng.get_feature_vectors(x, 11)
 
 
 def test_engine_edm_validation_step_uses_edm_loss():
