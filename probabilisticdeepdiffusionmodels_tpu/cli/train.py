@@ -64,10 +64,17 @@ def build_mesh(cfg):
     ``devices: all`` uses every visible chip; an int demands exactly that
     many; absent/1 trains single-device — the CLI-reachable analogue of the
     reference's ``pl.Trainer(gpus=torch.cuda.device_count())``
-    (reference scripts/train.py:139-150)."""
+    (reference scripts/train.py:139-150).  ``devices: DxM`` (e.g. "4x2")
+    builds a 2-D data x model mesh for tensor parallelism — pair it with
+    ``engine.param_sharding=tp``."""
     devices = (cfg.get("trainer") or {}).get("devices")
     if devices in (None, 1, "1"):
         return None
+    if "x" in str(devices):
+        n_data, n_model = (int(s) for s in str(devices).split("x"))
+        from ..parallel import make_mesh_2d
+
+        return make_mesh_2d(n_data, n_model)
     return make_mesh(None if str(devices) == "all" else int(devices))
 
 

@@ -32,11 +32,14 @@ from .core import diffusion as D
 from .evals.nll import calculate_likelihood
 from .models import get_model
 from .parallel.mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
     data_sharding,
     fsdp_sharding,
     replicated,
     shard_batch,
     spatial_sharding,
+    tp_sharding,
 )
 from .core.edm import EDMConfig
 from .sample.sampler import (
@@ -231,13 +234,25 @@ class DiffusionEngine:
         # Adam moments) over the data axis — per-device state memory ~1/N,
         # XLA all-gathers weights per-layer / reduce-scatters grads over
         # ICI (the jax ZeRO-3 recipe; parallel/mesh.py::fsdp_sharding).
-        if param_sharding not in ("replicated", "fsdp"):
+        # param_sharding="tp": Megatron-style tensor parallelism over the
+        # mesh's "model" axis — conv/dense output channels split per
+        # device, XLA propagating the channel sharding through the net
+        # (parallel/mesh.py::tp_sharding).  Composes with the data axis on
+        # a 2-D make_mesh_2d(dp, tp) mesh.
+        if param_sharding not in ("replicated", "fsdp", "tp"):
             raise ValueError(
-                f'param_sharding must be "replicated" or "fsdp", '
+                f'param_sharding must be "replicated", "fsdp" or "tp", '
                 f'got {param_sharding!r}'
             )
-        if param_sharding == "fsdp" and mesh is None:
-            raise ValueError('param_sharding="fsdp" requires a mesh')
+        if param_sharding in ("fsdp", "tp") and mesh is None:
+            raise ValueError(
+                f'param_sharding="{param_sharding}" requires a mesh'
+            )
+        if param_sharding == "tp" and MODEL_AXIS not in mesh.axis_names:
+            raise ValueError(
+                'param_sharding="tp" requires a mesh with a "model" axis '
+                f"(make_mesh_2d); got axes {mesh.axis_names}"
+            )
         self.param_sharding = param_sharding
         self.fsdp_min_size = int(fsdp_min_size)
         self.hparams["param_sharding"] = param_sharding
@@ -459,12 +474,15 @@ class DiffusionEngine:
         return self.state.params
 
     def _state_sharding(self):
-        """Per-leaf sharding tree for self.state: replicated, or the fsdp
-        layout (large leaves split over the data axis)."""
+        """Per-leaf sharding tree for self.state: replicated, the fsdp
+        layout (large leaves split over the data axis), or the tp layout
+        (output channels split over the model axis)."""
         if self.param_sharding == "fsdp":
             return fsdp_sharding(
                 self.mesh, self.state, min_size=self.fsdp_min_size
             )
+        if self.param_sharding == "tp":
+            return tp_sharding(self.mesh, self.state)
         return replicated(self.mesh)
 
     def replicate_state(self):
@@ -490,12 +508,15 @@ class DiffusionEngine:
         """Raise a readable error before device_put turns a non-divisible
         batch into an opaque XLA sharding failure (ADVICE r3)."""
         if self.mesh is not None:
-            n_dev = self.mesh.devices.size
+            # the batch splits over the DATA axis only — on a 2-D
+            # (data x model) tp mesh the model axis does not divide it
+            n_dev = dict(
+                zip(self.mesh.axis_names, self.mesh.devices.shape)
+            ).get(DATA_AXIS, self.mesh.devices.size)
             if batch_size % n_dev:
                 raise ValueError(
                     f"batch size {batch_size} must be divisible by the "
-                    f"mesh's {n_dev} devices (got trainer.devices={n_dev}; "
-                    f"{hint})"
+                    f"mesh's {n_dev} data-axis devices ({hint})"
                 )
 
     def training_step(self, x: jax.Array, y: Optional[jax.Array] = None):

@@ -19,11 +19,12 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
-    "make_mesh", "data_sharding", "spatial_sharding", "replicated",
-    "fsdp_sharding", "shard_batch", "P",
+    "make_mesh", "make_mesh_2d", "data_sharding", "spatial_sharding",
+    "replicated", "fsdp_sharding", "tp_sharding", "shard_batch", "P",
 ]
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(
@@ -45,6 +46,33 @@ def make_mesh(
             )
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(
+    n_data: int,
+    n_model: int,
+    axis_names: tuple = (DATA_AXIS, MODEL_AXIS),
+) -> Mesh:
+    """2-D (data x model) mesh for combined data + tensor parallelism.
+
+    On a real slice the trailing (model) axis should map to the
+    fastest-ICI neighbors — tensor-parallel collectives (per-layer
+    all-gathers/reduce-scatters) are latency-critical, while the data
+    axis only carries one gradient all-reduce per step.  ``jax.devices()``
+    order already walks the torus minor-to-major, so a plain reshape puts
+    mesh-adjacent devices on the model axis.
+    """
+    devices = jax.devices()
+    need = int(n_data) * int(n_model)
+    if len(devices) < need:
+        raise RuntimeError(
+            f"make_mesh_2d({n_data}, {n_model}): only {len(devices)} "
+            f"{devices[0].platform} device(s) available; run with "
+            f"JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
+            f"device_count={need} to fake a slice"
+        )
+    grid = np.asarray(devices[:need]).reshape(int(n_data), int(n_model))
+    return Mesh(grid, axis_names)
 
 
 def data_sharding(mesh: Mesh, ndim: int, axis_name: str = DATA_AXIS) -> NamedSharding:
@@ -102,6 +130,53 @@ def fsdp_sharding(mesh: Mesh, tree, axis_name: str = DATA_AXIS,
     return jax.tree.map(
         lambda x: _fsdp_leaf(mesh, getattr(x, "shape", ()), axis_name,
                              min_size),
+        tree,
+    )
+
+
+def _tp_leaf(mesh: Mesh, shape, axis_name: str, min_size: int) -> NamedSharding:
+    """Sharding for one leaf under tensor parallelism: split the
+    output-feature (last) dim over the model axis; everything else —
+    scalars, small leaves, indivisible channel counts — stays replicated."""
+    n = mesh.shape[axis_name]
+    if (
+        len(shape) < 2
+        or int(np.prod(shape)) < min_size
+        or shape[-1] % n
+    ):
+        return replicated(mesh)
+    spec = [None] * (len(shape) - 1) + [axis_name]
+    return NamedSharding(mesh, P(*spec))
+
+
+def tp_sharding(mesh: Mesh, tree, axis_name: str = MODEL_AXIS,
+                min_size: int = 2048):
+    """Tensor-parallel state layout over the mesh's model axis (the
+    Megatron column-parallel recipe, expressed declaratively for GSPMD).
+
+    Every large >=2-D leaf — conv kernels (kh, kw, cin, cout), dense
+    kernels (in, out), qkv/proj weights — is split on its OUTPUT-feature
+    dim across ``model``.  Under ``jit`` XLA's SPMD partitioner then
+    propagates the channel sharding through the network: each device
+    computes its cout-slice of every conv/matmul (a 1/N slice of the
+    layer's MXU FLOPs and weight HBM), inserting all-gathers only where a
+    consumer genuinely needs the full channel dim (GroupNorm group stats,
+    attention softmax, the residual adds at replicated boundaries).
+    Activations on the data axis stay batch-sharded, so the two axes
+    compose: dp gradients all-reduce over ``data``, tp activations
+    collect over ``model``.
+
+    The reference has no model-parallel path at all (its only hook is
+    Lightning DDP, reference scripts/train.py:139-150); this is the
+    TPU-native capability that lets a model wider than one chip's HBM
+    train at all.
+
+    ``min_size``: leaves below this many elements (biases, norm affines,
+    time-embedding vectors) stay replicated — sharding them saves nothing
+    and adds per-layer collectives."""
+    return jax.tree.map(
+        lambda x: _tp_leaf(mesh, getattr(x, "shape", ()), axis_name,
+                           min_size),
         tree,
     )
 

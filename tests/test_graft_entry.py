@@ -75,4 +75,5 @@ def test_dryrun_full_arms():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "inpaint + ddim_invert OK" in proc.stdout
     assert "fsdp engine train step OK" in proc.stdout
+    assert "tp engine train step OK" in proc.stdout
     assert "[dryrun_multichip] OK" in proc.stdout
