@@ -121,13 +121,14 @@ def run_sampling(cfg) -> None:
         print(f"[sample] regular viz written to {media_dir}")
 
     if (cfg.get("num_sample_steps")
-            or cfg.get("sampler") in ("ddim", "dpmpp", "heun", "edm")
+            or cfg.get("sampler") in ("ddim", "dpmpp", "heun", "edm", "flow")
             or cfg.get("guidance_scale") is not None):
         # fast-sampler generation grid (strided/DDIM, BASELINE config #3;
         # sampler=dpmpp selects DPM-Solver++(2M), sampler=heun the EDM
-        # Heun 2nd-order solver retrofitted onto the VP tables, and
-        # sampler=edm the NATIVE sigma-space EDM sampler — the latter
-        # needs a run trained with engine.prediction_type=edm)
+        # Heun 2nd-order solver retrofitted onto the VP tables,
+        # sampler=edm the NATIVE sigma-space EDM sampler, sampler=flow
+        # the NATIVE flow-matching ODE — the native ones need a run
+        # trained with the matching engine.prediction_type)
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -160,6 +161,9 @@ def run_sampling(cfg) -> None:
             heun_churn=float(cfg.get("heun_churn", 0.0)),
             edm=cfg.get("sampler") == "edm",
             edm_churn=float(cfg.get("edm_churn", 0.0)),
+            flow=cfg.get("sampler") == "flow",
+            flow_shift=cfg.get("flow_shift"),
+            flow_heun=bool(cfg.get("flow_heun", False)),
             **gen_kwargs,
         )
         fig, axes = plt.subplots(1, n, figsize=(2 * n, 2.2))

@@ -12,6 +12,13 @@ from .edm import (
     loss_weight as edm_loss_weight,
     precond as edm_precond,
 )
+from .flow import (
+    FlowConfig,
+    flow_time_grid,
+    sample_t as flow_sample_t,
+    interpolate as flow_interpolate,
+    vp_t_to_flow_t,
+)
 from .diffusion import (
     DiffusionTables,
     q_mean_std,

@@ -42,15 +42,18 @@ from .parallel.mesh import (
     tp_sharding,
 )
 from .core.edm import EDMConfig
+from .core.flow import FlowConfig
 from .sample.sampler import (
     ddim_invert_loop,
     ddim_sample_loop,
     dpmpp_sample_loop,
     edm_sample_loop,
+    flow_sample_loop,
     heun_sample_loop,
     inpaint_sample_loop,
     make_cfg_apply_fn,
     make_edm_to_eps_apply_fn,
+    make_flow_to_eps_apply_fn,
     make_v_to_eps_apply_fn,
     make_x0_to_eps_apply_fn,
     p_sample_loop,
@@ -62,6 +65,8 @@ from .train.step import (
     make_edm_eval_step,
     make_edm_train_step,
     make_eval_step,
+    make_flow_eval_step,
+    make_flow_train_step,
     make_train_step,
 )
 
@@ -176,6 +181,7 @@ class DiffusionEngine:
         loss_weighting: str = "none",
         snr_gamma: float = 5.0,
         edm_config: Optional[Dict[str, Any]] = None,
+        flow_config: Optional[Dict[str, Any]] = None,
         encoder_reuse: int = 1,
         reuse_exact_head: int = 0,
         reuse_exact_tail: int = 0,
@@ -208,6 +214,7 @@ class DiffusionEngine:
             loss_weighting=loss_weighting,
             snr_gamma=snr_gamma,
             edm_config=(None if edm_config is None else dict(edm_config)),
+            flow_config=(None if flow_config is None else dict(flow_config)),
             encoder_reuse=encoder_reuse,
             reuse_exact_head=reuse_exact_head,
             reuse_exact_tail=reuse_exact_tail,
@@ -357,7 +364,7 @@ class DiffusionEngine:
         # predict_xstart), beyond the reference: training regresses the
         # chosen target; every inference consumer (samplers, NLL, FID,
         # guidance) sees the eps-view wrapper so nothing else changes.
-        if prediction_type not in ("epsilon", "v", "x0", "edm"):
+        if prediction_type not in ("epsilon", "v", "x0", "edm", "flow"):
             raise ValueError(f'Unknown prediction_type: "{prediction_type}"')
         self.prediction_type = prediction_type
         # prediction_type="edm" (arXiv:2206.00364, beyond the reference):
@@ -366,26 +373,43 @@ class DiffusionEngine:
         # FID) drive the EDM model, and edm_sample_loop provides the
         # native sigma-space Heun sampler (generate_images(edm=True)).
         self.edm = None
-        if prediction_type == "edm":
+        self.flow = None
+        if prediction_type in ("edm", "flow"):
+            # shared continuous-time constraints: no learned-sigma head,
+            # no discrete-t importance sampler (the continuous time/sigma
+            # density IS the importance choice), no SNR reweighting (the
+            # objective carries its own weighting)
             if loss_type == "hybrid":
                 raise ValueError(
-                    'prediction_type="edm" has no learned-sigma head; '
-                    'use loss_type="simple"'
+                    f'prediction_type="{prediction_type}" has no '
+                    'learned-sigma head; use loss_type="simple"'
                 )
             if sampling == "importance":
                 raise ValueError(
-                    'prediction_type="edm" draws sigma log-normally '
-                    "(P_mean/P_std are its importance choice); "
-                    'use sampling="uniform"'
+                    f'prediction_type="{prediction_type}" draws its '
+                    "time/noise level continuously (that density is its "
+                    'importance choice); use sampling="uniform"'
                 )
             if loss_weighting != "none":
                 raise ValueError(
-                    'prediction_type="edm" carries its own lambda(sigma) '
-                    'weighting; use loss_weighting="none"'
+                    f'prediction_type="{prediction_type}" carries its own '
+                    'objective weighting; use loss_weighting="none"'
                 )
+        if prediction_type == "edm":
             self.edm = EDMConfig(**(edm_config or {}))
             self._apply = make_edm_to_eps_apply_fn(
                 self._apply_raw, self.tables, self.edm.sigma_data
+            )
+        # prediction_type="flow" (flow matching / rectified flow,
+        # arXiv:2210.02747 / 2209.03003, beyond the reference):
+        # straight-line velocity regression with continuous t; the
+        # eps-view wrapper lets every table-driven consumer drive the
+        # flow model, and flow_sample_loop provides the native
+        # Euler/Heun ODE sampler (generate_images(flow=True)).
+        elif prediction_type == "flow":
+            self.flow = FlowConfig(**(flow_config or {}))
+            self._apply = make_flow_to_eps_apply_fn(
+                self._apply_raw, self.tables
             )
         elif prediction_type == "v":
             self._apply = make_v_to_eps_apply_fn(self._apply_raw, self.tables)
@@ -430,6 +454,26 @@ class DiffusionEngine:
             )
             self._eval_step = jax.jit(
                 make_edm_eval_step(self._apply_raw, self.edm)
+            )
+        elif prediction_type == "flow":
+            self._train_step = jax.jit(
+                make_flow_train_step(
+                    self._apply_raw,
+                    self.tables,
+                    self.flow,
+                    dropout=dropout,
+                    watch=watch,
+                    class_dropout_prob=self.class_dropout_prob,
+                    null_class=(
+                        self.model.num_classes
+                        if self.class_dropout_prob
+                        else None
+                    ),
+                ),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                make_flow_eval_step(self._apply_raw, self.flow)
             )
         else:
             self._train_step = jax.jit(
@@ -636,14 +680,19 @@ class DiffusionEngine:
                 "dpmpp": dpmpp_sample_loop,
                 "heun": heun_sample_loop,
                 "edm": edm_sample_loop,
+                "flow": flow_sample_loop,
                 "inpaint": inpaint_sample_loop,
             }[loop_name]
-            # the native EDM loop owns the preconditioning and calls the
-            # RAW network F (eq. 7); every table-driven loop gets the
-            # eps-view.  CFG wrapping is correct in both places (a lerp on
-            # F is a lerp on the denoised image: affine at fixed x, sigma).
+            # the native EDM/flow loops own their input conventions and
+            # call the RAW network (EDM preconditioning eq. 7 / the flow
+            # velocity F); every table-driven loop gets the eps-view.  CFG
+            # wrapping is correct in all three places (a lerp on the raw
+            # output is a lerp on the denoised image: affine at fixed
+            # x and noise level).
             apply_fn = (
-                self._apply_raw if loop_name == "edm" else self._apply
+                self._apply_raw
+                if loop_name in ("edm", "flow")
+                else self._apply
             )
             if cfg_scale is not None:
                 apply_fn = make_cfg_apply_fn(
@@ -713,6 +762,7 @@ class DiffusionEngine:
         num_sample_steps=None, ddim=False, ddim_eta=0.0,
         dpm_solver=False, dpm_order=2, heun=False, heun_churn=0.0,
         edm=False, edm_churn=0.0,
+        flow=False, flow_shift=None, flow_heun=False,
         shard_mode="batch",
         y=None, guidance_scale=None, guidance_interval=None,
         encoder_reuse=None, x_T=None,
@@ -748,21 +798,34 @@ class DiffusionEngine:
         ``edm=True`` (requires ``prediction_type="edm"``): native
         sigma-space EDM Heun sampling over the continuous Karras grid —
         ``num_sample_steps`` is the grid size (int, default 18, NOT a
-        table respacing) and ``edm_churn`` the Alg.-2 S_churn."""
-        if edm:
-            if self.prediction_type != "edm":
+        table respacing) and ``edm_churn`` the Alg.-2 S_churn.
+        ``flow=True`` (requires ``prediction_type="flow"``): native
+        flow-matching ODE integration over the continuous (optionally
+        SD3-shifted, ``flow_shift``) uniform time grid —
+        ``num_sample_steps`` is the Euler step count (int, default 25,
+        NOT a table respacing); ``flow_heun=True`` upgrades to Heun's
+        2nd-order corrector (2 model evals/step)."""
+        if sum((bool(ddim), bool(dpm_solver), bool(heun), bool(edm),
+                bool(flow))) > 1:
+            raise ValueError(
+                "pass at most one of ddim / dpm_solver / heun / edm / flow"
+            )
+        if edm or flow:
+            which = "edm" if edm else "flow"
+            if self.prediction_type != which:
                 raise ValueError(
-                    'edm=True needs an engine with prediction_type="edm" '
-                    "(table-trained models should use heun=True, the "
-                    "VP-retrofitted solver)"
+                    f'{which}=True needs an engine with prediction_type='
+                    f'"{which}" (table-trained models should use '
+                    "heun=True, the VP-retrofitted solver)"
                 )
             if num_sample_steps is not None and not isinstance(
                 num_sample_steps, int
             ):
                 raise ValueError(
-                    "native EDM sampling takes an int num_sample_steps "
-                    "(the continuous-grid size); respacing specs like "
-                    '"karrasN" only apply to table-driven samplers'
+                    f"native {which} sampling takes an int "
+                    "num_sample_steps (the continuous-grid size); "
+                    'respacing specs like "karrasN" only apply to '
+                    "table-driven samplers"
                 )
             tables, tmap = self.tables, None
         else:
@@ -844,23 +907,34 @@ class DiffusionEngine:
                     reuse_prior_noise, self.reuse_prior_noise
                 ),
             )
-            if sum((bool(ddim), bool(dpm_solver), bool(heun), bool(edm))) > 1:
-                raise ValueError(
-                    "pass at most one of ddim / dpm_solver / heun / edm"
-                )
-            if edm:
+            if edm or flow:
+                which = "EDM" if edm else "flow"
                 if reuse > 1 or any(knobs.values()):
                     raise ValueError(
                         "encoder_reuse / reuse calibration knobs are not "
-                        "supported on the native EDM path (the sigma-space "
-                        "solver has no VP encoder cache); clear them"
+                        f"supported on the native {which} path (the "
+                        "continuous-time solver has no VP encoder cache); "
+                        "clear them"
                     )
                 if guidance_interval is not None:
                     raise ValueError(
                         "guidance_interval is defined in discrete timestep "
-                        "units and does not apply to the native EDM "
+                        f"units and does not apply to the native {which} "
                         "sampler; use plain guidance_scale"
                     )
+            if flow:
+                fn = self._sample_jit(
+                    "flow", cfg_scale=guidance_scale,
+                    clip=self.clip_while_generating,
+                    n_steps=int(num_sample_steps or 25),
+                    shift=float(
+                        flow_shift
+                        if flow_shift is not None
+                        else self.flow.shift
+                    ),
+                    heun=bool(flow_heun),
+                )
+            elif edm:
                 fn = self._sample_jit(
                     "edm", cfg_scale=guidance_scale,
                     clip=self.clip_while_generating,
@@ -1070,15 +1144,17 @@ class DiffusionEngine:
         'up': [...]} (reference UNetModel.get_feature_vectors,
         src/modules/unet.py:497-527)."""
         tb = jnp.full((x.shape[0],), t, jnp.int32) if np.isscalar(t) else jnp.asarray(t)
-        if self.prediction_type == "edm":
-            # the EDM wrapper gathers schedule tables at t-1, so out-of-
-            # range t would silently wrap (t=0 -> sigma_max) or NaN-fill
-            # (t>T) instead of just shifting the timestep embedding
+        if self.prediction_type in ("edm", "flow"):
+            # the EDM/flow wrappers gather schedule tables at t-1, so out-
+            # of-range t would silently wrap (t=0 -> the noisiest level)
+            # or NaN-fill (t>T) instead of just shifting the timestep
+            # embedding
             tmin, tmax = int(jnp.min(tb)), int(jnp.max(tb))
             if tmin < 1 or tmax > self.diffusion_steps:
                 raise ValueError(
-                    f"t must be in [1, {self.diffusion_steps}] for an EDM "
-                    f"engine's feature extraction, got [{tmin}, {tmax}]"
+                    f"t must be in [1, {self.diffusion_steps}] for an "
+                    f"{self.prediction_type} engine's feature extraction, "
+                    f"got [{tmin}, {tmax}]"
                 )
         # self._apply handles every parameterization: it is _apply_raw for
         # epsilon, and the v/x0/edm wrappers pass return_features through

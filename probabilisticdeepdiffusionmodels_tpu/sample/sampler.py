@@ -153,6 +153,51 @@ def make_edm_to_eps_apply_fn(apply_fn, tables: DiffusionTables,
     return eps_apply
 
 
+def make_flow_to_eps_apply_fn(apply_fn, tables: DiffusionTables):
+    """Eps-view of a flow-matching velocity model (arXiv:2210.02747) over
+    a discrete VP schedule, so every table-driven consumer — the
+    ancestral/DDIM/DPM++/Heun loops, the NLL evaluator, CFG, FID — can
+    drive a flow-trained model unchanged.
+
+    Like the EDM wrapper, this changes the *model call itself*: the
+    straight-line interpolant shares marginals with VP up to a scale
+    (core/flow.py): at VP time t with a = sqrt(ab), s = sqrt(1-ab), the
+    matching flow time is tau = s/(a+s) and the flow state is
+    x_flow = x_vp / (a+s).  The network predicts the line's velocity
+    u = e - x0, from which
+
+        eps = x_flow + (1 - tau) u
+
+    (substituting x_flow = (1-tau) x0 + tau e).  ``t`` stays in original
+    schedule units; ``return_features`` / encoder-cache calls go through
+    the same input transform with the output passed through untouched.
+    """
+    from ..core.flow import TIME_SCALE
+
+    def eps_apply(params, x, t, y, **kwargs):
+        abar = D.expand_to(tables.alphas_hat, t, x.ndim)
+        a = jnp.sqrt(abar)
+        s = jnp.sqrt(1.0 - abar)
+        tau = s / (a + s)
+        x_flow = x / (a + s)
+        abar_vec = D.gather(tables.alphas_hat, t)
+        a_vec = jnp.sqrt(abar_vec)
+        s_vec = jnp.sqrt(1.0 - abar_vec)
+        tau_vec = s_vec / (a_vec + s_vec)
+        out = apply_fn(params, x_flow, tau_vec * TIME_SCALE, y, **kwargs)
+        if kwargs.get("return_features"):
+            return out
+        cache = None
+        if kwargs.get("return_cache"):
+            out, cache = out
+        eps = x_flow + (1.0 - tau) * out
+        if kwargs.get("return_cache"):
+            return eps, cache
+        return eps
+
+    return eps_apply
+
+
 def make_cfg_apply_fn(apply_fn, guidance_scale: float, null_class: int,
                       interval=None):
     """Classifier-free guidance wrapper (Ho & Salimans, arXiv:2207.12598).
@@ -993,6 +1038,70 @@ def edm_sample_loop(
     x = sig_cur[0] * x_t
     steps = (sig_cur, sig_next, jnp.arange(n))
     x_final, _ = jax.lax.scan(body, x, steps)
+    return x_final
+
+
+def flow_sample_loop(
+    apply_fn: Callable,
+    params,
+    tables: DiffusionTables,
+    x_t: jax.Array,
+    key: Optional[jax.Array] = None,
+    *,
+    n_steps: int = 25,
+    shift: float = 1.0,
+    heun: bool = False,
+    clip: bool = False,
+    y: Optional[jax.Array] = None,
+    timestep_map: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Native flow-matching sampling for a model trained with
+    ``prediction_type="flow"``: integrate the learned ODE dx/dt = F(x, t)
+    from t=1 (x = the given standard-normal noise) down to t=0 over the
+    (optionally SD3-shifted) uniform grid — Euler by default (the
+    rectified-flow workhorse: straight target trajectories make low-order
+    steps accurate), Heun's 2nd-order corrector with ``heun=True``.
+
+    ``apply_fn`` is the RAW velocity network; wrapping it in
+    make_cfg_apply_fn guides correctly (velocity, eps and x0 are affine
+    in F at fixed x, t, so a lerp on F is a lerp on all of them).
+    ``clip`` clamps the implied clean image x0 = x - t F to [-1, 1] and
+    rebuilds the slope v = (x - x0_clipped)/t — consistent clipping like
+    the other ODE loops (guarded at tiny t, where x is already x0).
+    ``key``/``tables``/``timestep_map`` are accepted for signature
+    uniformity and unused.
+    """
+    from ..core.flow import TIME_SCALE, flow_time_grid
+
+    grid = flow_time_grid(int(n_steps), shift)
+    t_cur = jnp.asarray(grid[:-1], jnp.float32)
+    t_next = jnp.asarray(grid[1:], jnp.float32)
+    b = x_t.shape[0]
+
+    def velocity(x, t):
+        """F(x, t) for a scalar (per-step) t, optionally x0-clipped."""
+        t_vec = jnp.full((b,), t * TIME_SCALE, jnp.float32)
+        v = apply_fn(params, x, t_vec, y)
+        if clip:
+            x0_hat = jnp.clip(x - t * v, -1.0, 1.0)
+            v = jnp.where(t > 1e-4, (x - x0_hat) / jnp.maximum(t, 1e-4), v)
+        return v
+
+    def body(x, ts):
+        t_a, t_b = ts
+        dt = t_b - t_a
+        v_a = velocity(x, t_a)
+        x_euler = x + dt * v_a
+        if not heun:
+            return x_euler, None
+        v_b = velocity(x_euler, t_b)
+        x_heun = x + dt * 0.5 * (v_a + v_b)
+        # final step (t_b == 0): Euler only — the corrector would evaluate
+        # exactly at the clean endpoint, where the clipped slope rebuild
+        # degenerates; matches edm_sample_loop's convention
+        return jnp.where(t_b == 0.0, x_euler, x_heun), None
+
+    x_final, _ = jax.lax.scan(body, x_t, (t_cur, t_next))
     return x_final
 
 

@@ -39,6 +39,8 @@ __all__ = [
     "make_eval_step",
     "make_edm_train_step",
     "make_edm_eval_step",
+    "make_flow_train_step",
+    "make_flow_eval_step",
     "global_norm",
 ]
 
@@ -378,6 +380,117 @@ def make_edm_eval_step(apply_fn: Callable, edm) -> Callable:
         parts = _edm_noise_and_precond(edm, key_sig, key_noise, x0)
         return jnp.mean(
             _edm_per_sample_loss(apply_fn, params, parts, x0, y)
+        )
+
+    return step
+
+
+def _flow_per_sample_loss(apply_fn, params, flow_parts, y, **kwargs):
+    """mean_pixels (F(x_t, t*TIME_SCALE) - (e - x0))^2 per sample."""
+    from ..core.flow import TIME_SCALE
+
+    x_t, t, u = flow_parts
+    out = apply_fn(params, x_t, t * TIME_SCALE, y, **kwargs)
+    return D.mean_flat(jnp.square(out - u))
+
+
+def make_flow_train_step(
+    apply_fn: Callable,
+    tables: DiffusionTables,
+    flow,
+    *,
+    dropout: bool = False,
+    watch: bool = False,
+    class_dropout_prob: float = 0.0,
+    null_class: int = None,
+) -> Callable[[TrainState, jax.Array], Tuple[TrainState, Dict[str, jax.Array]]]:
+    """The flow-matching train step (arXiv:2210.02747 / 2209.03003), the
+    ``prediction_type="flow"`` twin of make_train_step: same optimizer /
+    EMA / metrics plumbing, but t is drawn continuously (logit-normal or
+    uniform, core/flow.py::sample_t), the state is the straight-line
+    interpolant x_t = (1-t) x0 + t e, and the loss is the unweighted
+    velocity regression || F(x_t, t) - (e - x0) ||^2 — the time density
+    itself carries the weighting (SD3, arXiv:2403.03206 eq. 11).
+
+    The per-t loss-history ring (quartile logging) is kept live by
+    bucketing each flow time onto the engine's discrete VP grid through
+    the marginal-matching map t_vp <-> t_flow (core/flow.py::
+    vp_t_to_flow_t) — logging only; the engine rejects
+    sampling="importance" with flow (the t density is the importance
+    choice).  ``class_dropout_prob`` composes exactly as in
+    make_train_step (CFG training).  ``tables`` is used ONLY for the
+    history bucketing.
+    """
+    from ..core.flow import interpolate, sample_t, vp_t_to_flow_t
+
+    if class_dropout_prob and null_class is None:
+        raise ValueError("class_dropout_prob needs null_class (the index "
+                         "of the model's cfg_null_class embedding row)")
+    T = tables.diffusion_steps
+    # ascending-in-t_vp flow-time table for the history bucket map
+    t_flow_of_vp = vp_t_to_flow_t(tables.alphas_hat)
+
+    def step(state: TrainState, x0: jax.Array, y=None):
+        rng = jax.random.fold_in(state.rng, state.step)
+        key_t, key_noise, key_drop = jax.random.split(rng, 3)
+
+        if class_dropout_prob:
+            key_drop, key_cfg = jax.random.split(key_drop)
+            drop = jax.random.bernoulli(
+                key_cfg, class_dropout_prob, (x0.shape[0],)
+            )
+            y = jnp.where(drop, jnp.full_like(y, null_class), y)
+
+        t = sample_t(key_t, x0.shape[0], flow)
+        noise = jax.random.normal(key_noise, x0.shape, x0.dtype)
+        x_t, u = interpolate(x0, noise, t)
+        parts = (x_t, t, u)
+
+        def loss_fn(params):
+            kwargs = (
+                dict(rngs={"dropout": key_drop}, train=True) if dropout else {}
+            )
+            per_sample = _flow_per_sample_loss(
+                apply_fn, params, parts, y, **kwargs
+            )
+            return jnp.mean(per_sample), {"mse_per_sample": per_sample}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+
+        t_bucket = jnp.clip(
+            jnp.searchsorted(t_flow_of_vp, t) + 1, 1, T
+        ).astype(jnp.int32)
+        new_history = state.loss_history.update(
+            t_bucket, jax.lax.stop_gradient(aux["mse_per_sample"])
+        )
+        state = state.replace(loss_history=new_history)
+        state = state.apply_gradients(grads)
+
+        metrics = {"loss": loss, "grad_norm": global_norm(grads)}
+        if watch:
+            metrics["grad_norm_per_module"] = {
+                k: global_norm(v) for k, v in grads.items()
+            }
+        return state, metrics
+
+    return step
+
+
+def make_flow_eval_step(apply_fn: Callable, flow) -> Callable:
+    """Validation loss for ``prediction_type="flow"``: the same velocity
+    regression under the same time draw, for a given param set
+    (params / ema_params), mirroring make_eval_step."""
+    from ..core.flow import interpolate, sample_t
+
+    def step(params, rng: jax.Array, x0: jax.Array, y=None):
+        key_t, key_noise = jax.random.split(rng)
+        t = sample_t(key_t, x0.shape[0], flow)
+        noise = jax.random.normal(key_noise, x0.shape, x0.dtype)
+        x_t, u = interpolate(x0, noise, t)
+        return jnp.mean(
+            _flow_per_sample_loss(apply_fn, params, (x_t, t, u), y)
         )
 
     return step

@@ -112,6 +112,24 @@ CONFIG_SETS = {
         ("edm_18_churn5", dict(edm=True, num_sample_steps=18,
                                edm_churn=5.0)),
     ],
+    # flow-matching-native study (round 4): a twin trained with
+    # engine.prediction_type=flow (arXiv:2210.02747 straight-line
+    # velocity regression) — the native Euler/Heun ODE at several step
+    # counts (Euler NFE = N, Heun NFE = 2N — the scan pays the final
+    # corrector eval even though it is discarded at t=0) vs the table-driven
+    # eps-views of the SAME model, isolating sampler from
+    # parameterization exactly like the edm set
+    "flow": [
+        ("exact", dict(encoder_reuse=1)),
+        ("ddim_50", dict(ddim=True, num_sample_steps=50)),
+        ("dpmpp_10", dict(dpm_solver=True, num_sample_steps=10)),
+        ("flow_10", dict(flow=True, num_sample_steps=10)),
+        ("flow_25", dict(flow=True, num_sample_steps=25)),
+        ("flow_50", dict(flow=True, num_sample_steps=50)),
+        ("flow_h13", dict(flow=True, num_sample_steps=13, flow_heun=True)),
+        ("flow_25_shift3", dict(flow=True, num_sample_steps=25,
+                                flow_shift=3.0)),
+    ],
     # EDM Alg.-2 stochastic churn sweep on the Heun solver (r4): does
     # re-noising during integration buy distributional quality on an
     # imperfect model, as EDM reports for small datasets?

@@ -341,6 +341,10 @@ def test_fid_with_precision_recall_dict():
         )
     finally:
         fidmod._make_feature_fn = orig
-    assert set(m) == {"fid", "precision", "recall"}
+    assert set(m) == {"fid", "precision", "recall",
+                      "extras_n_fake", "extras_n_real"}
     assert np.isfinite(m["fid"])
     assert 0.0 <= m["precision"] <= 1.0 and 0.0 <= m["recall"] <= 1.0
+    # pr_limit=12 caps the teed rows on both sides (coverage recording
+    # added in the r4 metrics review pass)
+    assert m["extras_n_fake"] == 12 and m["extras_n_real"] == 12
