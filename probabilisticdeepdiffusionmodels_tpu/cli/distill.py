@@ -28,7 +28,28 @@ from ..train.distill import distill_round, halved_student
 from .sample import load_engine_from_run
 from .train import build_loaders
 
-__all__ = ["run_distillation", "main"]
+__all__ = ["run_distillation", "student_run_config", "main"]
+
+
+def student_run_config(student, run_cfg) -> dict:
+    """A config that rebuilds a student engine verbatim (betas list rides
+    in the engine section), with the teacher's data/model groups so the
+    sample/eval/fid CLIs work on the student run.  Shared by cli.distill
+    and cli.reflow — the hparams exclusion list must stay in ONE place
+    (keys here are trainer/loop-owned and not engine-constructor
+    kwargs)."""
+    scfg = dict(run_cfg)
+    eng_cfg = {
+        k: v for k, v in student.hparams.items()
+        if k not in ("model_config", "optimizer_config",
+                     "scheduler_name", "scheduler_kwargs", "seed",
+                     "accumulate_grad_batches", "grad_clip")
+    }
+    eng_cfg["optimizer_config"] = student.hparams["optimizer_config"]
+    scfg["engine"] = eng_cfg
+    scfg["model"] = dict(student.hparams["model_config"])
+    scfg["scheduler"] = {}
+    return scfg
 
 
 def run_distillation(cfg) -> dict:
@@ -51,21 +72,7 @@ def run_distillation(cfg) -> dict:
         )
         T_s = student.diffusion_steps
         run = RunDir(out_dir, f"{base_name}_distillT{T_s}")
-        # a config that rebuilds the student engine verbatim (betas list
-        # rides in the engine section), with the teacher's data/model
-        # groups so sample/eval/fid CLIs work on the student run
-        scfg = dict(run_cfg)
-        eng_cfg = {
-            k: v for k, v in student.hparams.items()
-            if k not in ("model_config", "optimizer_config",
-                         "scheduler_name", "scheduler_kwargs", "seed",
-                         "accumulate_grad_batches", "grad_clip")
-        }
-        eng_cfg["optimizer_config"] = student.hparams["optimizer_config"]
-        scfg["engine"] = eng_cfg
-        scfg["model"] = dict(student.hparams["model_config"])
-        scfg["scheduler"] = {}
-        run.save_config(scfg)
+        run.save_config(student_run_config(student, run_cfg))
         logger = MetricLogger(run)
         print(f"[distill] round {r + 1}/{rounds}: T {teacher.diffusion_steps}"
               f" -> {T_s}, {epochs} epochs -> {run.path}")

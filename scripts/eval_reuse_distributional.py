@@ -130,6 +130,18 @@ CONFIG_SETS = {
         ("flow_25_shift3", dict(flow=True, num_sample_steps=25,
                                 flow_shift=3.0)),
     ],
+    # few-step native-flow envelope (round 4): the reflow story — run on
+    # a flow teacher AND its reflowed student to measure how much
+    # 2-rectification (arXiv:2209.03003) straightens the ODE at 1-10
+    # Euler steps
+    "fewstep": [
+        ("exact", dict(encoder_reuse=1)),
+        ("flow_1", dict(flow=True, num_sample_steps=1)),
+        ("flow_2", dict(flow=True, num_sample_steps=2)),
+        ("flow_4", dict(flow=True, num_sample_steps=4)),
+        ("flow_10", dict(flow=True, num_sample_steps=10)),
+        ("flow_25", dict(flow=True, num_sample_steps=25)),
+    ],
     # EDM Alg.-2 stochastic churn sweep on the Heun solver (r4): does
     # re-noising during integration buy distributional quality on an
     # imperfect model, as EDM reports for small datasets?
