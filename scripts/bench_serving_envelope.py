@@ -7,6 +7,9 @@ batch x sampler on the flagship CIFAR UNet (the bench.py model):
   * exact ancestral, 250 respaced steps (the headline bench config)
   * DDIM-50 (the fastest validated near-exact-quality config)
   * DPM-Solver++(2M)-10 (the quality-flat ODE-limit config)
+  * native flow Euler at 1/2/4 steps (the reflow serving configs,
+    train/reflow.py — same UNet cost per eval, so the rates apply to
+    any flow/reflowed model of this architecture)
 
 Writes docs/results/serving_envelope.json and prints the table.  Run on
 the real TPU (one process at a time):
@@ -45,7 +48,7 @@ def measure(sample_fn, params, x_T, key, batch, n_rep=3):
 
 def main(batches=BATCHES, model_channels=128, num_res_blocks=3,
          resolution=RESOLUTION, n_rep=3,
-         steps=(250, 50, 10),
+         steps=(250, 50, 10), flow_steps=(1, 2, 4),
          out_name="serving_envelope.json"):
     from probabilisticdeepdiffusionmodels_tpu.core import (
         DiffusionTables,
@@ -55,6 +58,7 @@ def main(batches=BATCHES, model_channels=128, num_res_blocks=3,
     from probabilisticdeepdiffusionmodels_tpu.sample import (
         ddim_sample_loop,
         dpmpp_sample_loop,
+        flow_sample_loop,
         p_sample_loop,
         respaced_schedule,
         space_timesteps,
@@ -99,6 +103,12 @@ def main(batches=BATCHES, model_channels=128, num_res_blocks=3,
         f"dpmpp_{n_dpmpp}": jax.jit(lambda p, x, k: dpmpp_sample_loop(
             apply_fn, p, t10, x, k, clip=True, timestep_map=m10)),
     }
+    for n_flow in flow_steps:
+        samplers[f"flow_{n_flow}"] = jax.jit(
+            lambda p, x, k, n=n_flow: flow_sample_loop(
+                apply_fn, p, None, x, k, n_steps=n, clip=True
+            )
+        )
 
     key = jax.random.PRNGKey(1)
     table = {}
