@@ -31,11 +31,24 @@ def run_eval(cfg) -> dict:
     limit = (cfg.get("trainer") or {}).get("limit_test_batches")
     seed = int(cfg.get("seed", 0) or 0)
 
+    # ode_nll=true on a flow run adds the EXACT continuous-time
+    # likelihood (evals/ode_nll.py) next to the discrete VLB columns
+    ode = bool(cfg.get("ode_nll", False))
+    if ode and engine.prediction_type != "flow":
+        raise ValueError('ode_nll=true needs a prediction_type="flow" run')
+
     agg: dict = {}
     for i, (x, y) in enumerate(loader):
         if limit is not None and i >= int(limit):
             break
         m = engine.test_step(x, seed=seed + i, y=y)
+        if ode:
+            o = engine.calculate_ode_likelihood(
+                x, seed=seed + i, y=y,
+                n_steps=int(cfg.get("ode_steps", 100)),
+                n_probes=int(cfg.get("ode_probes", 1)),
+            )
+            m["test_ode_nll"] = float(np.mean(o["nll_bits_per_dim"]))
         for k, v in m.items():
             agg.setdefault(k, []).append(v)
     result = {k: float(np.mean(v)) for k, v in agg.items()}

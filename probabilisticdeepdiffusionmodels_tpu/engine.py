@@ -420,6 +420,7 @@ class DiffusionEngine:
         else:
             self._apply = self._apply_raw
         self._sample_jits: Dict[Any, Any] = {}
+        self._ode_nll_jits: Dict[Any, Any] = {}
         self.class_dropout_prob = float(class_dropout_prob or 0.0)
         if self.class_dropout_prob:
             if self.cond_kind != "class" or not getattr(
@@ -1173,6 +1174,36 @@ class DiffusionEngine:
             self.params(use_ema), self.tables, jnp.asarray(x),
             jax.random.PRNGKey(seed), y=self._cond(y),
         )
+
+    def calculate_ode_likelihood(self, x, seed=0, use_ema=True, y=None,
+                                 n_steps=100, n_probes=1):
+        """EXACT continuous-time likelihood through the flow model's own
+        probability-flow ODE (evals/ode_nll.py; instantaneous change of
+        variables + Hutchinson trace) — beyond the reference, whose only
+        likelihood is the discrete VLB.  Requires
+        ``prediction_type="flow"``; other engines report the discrete
+        VLB via calculate_likelihood.  Returns per-sample
+        log_likelihood / nll_bits_per_dim / prior_logp / delta_logp."""
+        if self.prediction_type != "flow":
+            raise ValueError(
+                "calculate_ode_likelihood integrates the flow velocity "
+                'ODE and needs prediction_type="flow"; use '
+                "calculate_likelihood (discrete VLB) instead"
+            )
+        from .evals.ode_nll import flow_ode_nll
+
+        cache_key = (int(n_steps), int(n_probes))
+        fn = self._ode_nll_jits.get(cache_key)
+        if fn is None:
+            fn = jax.jit(
+                lambda p, xx, k, yy: flow_ode_nll(
+                    self._apply_raw, p, xx, k,
+                    n_steps=int(n_steps), n_probes=int(n_probes), y=yy,
+                )
+            )
+            self._ode_nll_jits[cache_key] = fn
+        return fn(self.params(use_ema), jnp.asarray(x),
+                  jax.random.PRNGKey(seed), self._cond(y))
 
     def test_step(self, x, seed=0, use_ema=True, y=None) -> Dict[str, float]:
         nll = self.calculate_likelihood(x, seed=seed, use_ema=use_ema, y=y)
