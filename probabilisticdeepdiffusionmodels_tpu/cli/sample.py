@@ -100,7 +100,13 @@ def run_sampling(cfg) -> None:
     media_dir.mkdir(exist_ok=True)
     normalize = (run_cfg["data"].get("transformation_kwargs") or {}).get("normalize")
 
-    if cfg.get("regular_viz", True):
+    if cfg.get("regular_viz", True) and \
+            engine.prediction_type == "consistency":
+        # the viz suites render ancestral trajectory grids, which need the
+        # eps-view a consistency model doesn't have
+        print("[sample] regular viz needs the eps-view; skipped for "
+              'prediction_type="consistency" (use sampler=consistency)')
+    elif cfg.get("regular_viz", True):
         T = engine.diffusion_steps
         n_vis = cfg.get("num_vis_steps") or (5 if T <= 30 else 10)
         ts = sorted(set(int(t) for t in np.linspace(1, T - 1, n_vis)))
@@ -121,7 +127,8 @@ def run_sampling(cfg) -> None:
         print(f"[sample] regular viz written to {media_dir}")
 
     if (cfg.get("num_sample_steps")
-            or cfg.get("sampler") in ("ddim", "dpmpp", "heun", "edm", "flow")
+            or cfg.get("sampler") in ("ddim", "dpmpp", "heun", "edm",
+                                      "flow", "consistency")
             or cfg.get("guidance_scale") is not None):
         # fast-sampler generation grid (strided/DDIM, BASELINE config #3;
         # sampler=dpmpp selects DPM-Solver++(2M), sampler=heun the EDM
@@ -164,6 +171,7 @@ def run_sampling(cfg) -> None:
             flow=cfg.get("sampler") == "flow",
             flow_shift=cfg.get("flow_shift"),
             flow_heun=bool(cfg.get("flow_heun", False)),
+            consistency=cfg.get("sampler") == "consistency",
             **gen_kwargs,
         )
         fig, axes = plt.subplots(1, n, figsize=(2 * n, 2.2))

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import sys
 
+import jax
 import numpy as np
 
 from ..config import load_config
@@ -160,6 +161,13 @@ def run_training(cfg) -> dict:
         # visualization=none disables the callback; non-main processes of a
         # multi-host launch never render media (one coherent artifact set)
         vis = None
+    elif engine.prediction_type == "consistency":
+        # the viz suites render ancestral trajectory grids, which need the
+        # eps-view a consistency model doesn't have; sample the 1-step map
+        # after training instead (cli.sample sampler=consistency)
+        print("[train] visualization suites need the eps-view; disabled "
+              'for prediction_type="consistency"')
+        vis = None
     else:
         val_batch = next(iter(val_loader))[0]
         vis = VisualizationCallback(
@@ -191,12 +199,25 @@ def run_training(cfg) -> dict:
     # config/default.yaml:11)
     limit = trainer_cfg.get("limit_test_batches", 100)
     test_metrics = {}
-    for i, (x, y) in enumerate(val_loader):
-        if limit is not None and i >= int(limit):
-            break
-        m = engine.test_step(x, seed=i, y=y)
-        for k, v in m.items():
-            test_metrics.setdefault(k, []).append(v)
+    if engine.prediction_type == "consistency":
+        # a consistency model has no eps-view, so the discrete VLB is
+        # undefined on it; record the CT validation loss instead
+        for i, (x, y) in enumerate(val_loader):
+            if limit is not None and i >= int(limit):
+                break
+            out = engine.validation_step(
+                x, rng=jax.random.PRNGKey(i), y=y
+            )
+            test_metrics.setdefault("test_ct_loss", []).append(
+                float(out["val_loss"])
+            )
+    else:
+        for i, (x, y) in enumerate(val_loader):
+            if limit is not None and i >= int(limit):
+                break
+            m = engine.test_step(x, seed=i, y=y)
+            for k, v in m.items():
+                test_metrics.setdefault(k, []).append(v)
     test_metrics = {k: float(np.mean(v)) for k, v in test_metrics.items()}
     logger.log(test_metrics, step=result["steps"])
     print(f"[train] done: {result} test: {test_metrics}")

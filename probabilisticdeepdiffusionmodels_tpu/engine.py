@@ -41,9 +41,11 @@ from .parallel.mesh import (
     spatial_sharding,
     tp_sharding,
 )
+from .core.consistency import ConsistencyConfig
 from .core.edm import EDMConfig
 from .core.flow import FlowConfig
 from .sample.sampler import (
+    consistency_sample_loop,
     ddim_invert_loop,
     ddim_sample_loop,
     dpmpp_sample_loop,
@@ -60,6 +62,7 @@ from .sample.sampler import (
     respaced_schedule,
     space_timesteps,
 )
+from .train.consistency import make_ct_eval_step, make_ct_train_step
 from .train.state import TrainState
 from .train.step import (
     make_edm_eval_step,
@@ -182,6 +185,7 @@ class DiffusionEngine:
         snr_gamma: float = 5.0,
         edm_config: Optional[Dict[str, Any]] = None,
         flow_config: Optional[Dict[str, Any]] = None,
+        consistency_config: Optional[Dict[str, Any]] = None,
         encoder_reuse: int = 1,
         reuse_exact_head: int = 0,
         reuse_exact_tail: int = 0,
@@ -215,6 +219,10 @@ class DiffusionEngine:
             snr_gamma=snr_gamma,
             edm_config=(None if edm_config is None else dict(edm_config)),
             flow_config=(None if flow_config is None else dict(flow_config)),
+            consistency_config=(
+                None if consistency_config is None
+                else dict(consistency_config)
+            ),
             encoder_reuse=encoder_reuse,
             reuse_exact_head=reuse_exact_head,
             reuse_exact_tail=reuse_exact_tail,
@@ -364,7 +372,9 @@ class DiffusionEngine:
         # predict_xstart), beyond the reference: training regresses the
         # chosen target; every inference consumer (samplers, NLL, FID,
         # guidance) sees the eps-view wrapper so nothing else changes.
-        if prediction_type not in ("epsilon", "v", "x0", "edm", "flow"):
+        if prediction_type not in (
+            "epsilon", "v", "x0", "edm", "flow", "consistency"
+        ):
             raise ValueError(f'Unknown prediction_type: "{prediction_type}"')
         self.prediction_type = prediction_type
         # prediction_type="edm" (arXiv:2206.00364, beyond the reference):
@@ -374,7 +384,8 @@ class DiffusionEngine:
         # native sigma-space Heun sampler (generate_images(edm=True)).
         self.edm = None
         self.flow = None
-        if prediction_type in ("edm", "flow"):
+        self.cm = None
+        if prediction_type in ("edm", "flow", "consistency"):
             # shared continuous-time constraints: no learned-sigma head,
             # no discrete-t importance sampler (the continuous time/sigma
             # density IS the importance choice), no SNR reweighting (the
@@ -411,6 +422,27 @@ class DiffusionEngine:
             self._apply = make_flow_to_eps_apply_fn(
                 self._apply_raw, self.tables
             )
+        # prediction_type="consistency" (arXiv:2303.01469 / iCT
+        # 2310.14189, beyond the reference): one/few-step generation —
+        # teacher-free CT as the train step, native sampling via
+        # consistency_sample_loop (generate_images(consistency=True)).
+        # No eps-view exists: f predicts the PF-ODE ENDPOINT, not the
+        # score, so table-driven consumers (ancestral/DDIM/DPM++ loops,
+        # NLL, inpaint, inversion) are undefined on it by construction.
+        elif prediction_type == "consistency":
+            self.cm = ConsistencyConfig(
+                **(consistency_config or {})
+            ).validate()
+
+            def _no_eps_view(*a, **kw):
+                raise ValueError(
+                    "a consistency model predicts the PF-ODE endpoint, "
+                    "not the score: the eps-view (ancestral/DDIM/DPM++ "
+                    "sampling, NLL, inpainting, inversion) is undefined. "
+                    "Sample with generate_images(consistency=True)."
+                )
+
+            self._apply = _no_eps_view
         elif prediction_type == "v":
             self._apply = make_v_to_eps_apply_fn(self._apply_raw, self.tables)
         elif prediction_type == "x0":
@@ -475,6 +507,26 @@ class DiffusionEngine:
             )
             self._eval_step = jax.jit(
                 make_flow_eval_step(self._apply_raw, self.flow)
+            )
+        elif prediction_type == "consistency":
+            self._train_step = jax.jit(
+                make_ct_train_step(
+                    self._apply_raw,
+                    self.tables,
+                    self.cm,
+                    dropout=dropout,
+                    watch=watch,
+                    class_dropout_prob=self.class_dropout_prob,
+                    null_class=(
+                        self.model.num_classes
+                        if self.class_dropout_prob
+                        else None
+                    ),
+                ),
+                donate_argnums=(0,),
+            )
+            self._eval_step = jax.jit(
+                make_ct_eval_step(self._apply_raw, self.tables, self.cm)
             )
         else:
             self._train_step = jax.jit(
@@ -682,6 +734,7 @@ class DiffusionEngine:
                 "heun": heun_sample_loop,
                 "edm": edm_sample_loop,
                 "flow": flow_sample_loop,
+                "consistency": consistency_sample_loop,
                 "inpaint": inpaint_sample_loop,
             }[loop_name]
             # the native EDM/flow loops own their input conventions and
@@ -692,7 +745,7 @@ class DiffusionEngine:
             # x and noise level).
             apply_fn = (
                 self._apply_raw
-                if loop_name in ("edm", "flow")
+                if loop_name in ("edm", "flow", "consistency")
                 else self._apply
             )
             if cfg_scale is not None:
@@ -764,6 +817,7 @@ class DiffusionEngine:
         dpm_solver=False, dpm_order=2, heun=False, heun_churn=0.0,
         edm=False, edm_churn=0.0,
         flow=False, flow_shift=None, flow_heun=False,
+        consistency=False,
         shard_mode="batch",
         y=None, guidance_scale=None, guidance_interval=None,
         encoder_reuse=None, x_T=None,
@@ -805,14 +859,20 @@ class DiffusionEngine:
         SD3-shifted, ``flow_shift``) uniform time grid —
         ``num_sample_steps`` is the Euler step count (int, default 25,
         NOT a table respacing); ``flow_heun=True`` upgrades to Heun's
-        2nd-order corrector (2 model evals/step)."""
+        2nd-order corrector (2 model evals/step).
+        ``consistency=True`` (requires ``prediction_type="consistency"``):
+        one-shot f(sigma_max z, sigma_max) generation —
+        ``num_sample_steps`` (int, default 1) > 1 runs multistep
+        consistency sampling with noise re-injection between denoises
+        (arXiv:2303.01469 alg. 1)."""
         if sum((bool(ddim), bool(dpm_solver), bool(heun), bool(edm),
-                bool(flow))) > 1:
+                bool(flow), bool(consistency))) > 1:
             raise ValueError(
-                "pass at most one of ddim / dpm_solver / heun / edm / flow"
+                "pass at most one of ddim / dpm_solver / heun / edm / "
+                "flow / consistency"
             )
-        if edm or flow:
-            which = "edm" if edm else "flow"
+        if edm or flow or consistency:
+            which = "edm" if edm else ("flow" if flow else "consistency")
             if self.prediction_type != which:
                 raise ValueError(
                     f'{which}=True needs an engine with prediction_type='
@@ -908,8 +968,8 @@ class DiffusionEngine:
                     reuse_prior_noise, self.reuse_prior_noise
                 ),
             )
-            if edm or flow:
-                which = "EDM" if edm else "flow"
+            if edm or flow or consistency:
+                which = "EDM" if edm else ("flow" if flow else "consistency")
                 if reuse > 1 or any(knobs.values()):
                     raise ValueError(
                         "encoder_reuse / reuse calibration knobs are not "
@@ -923,7 +983,17 @@ class DiffusionEngine:
                         f"units and does not apply to the native {which} "
                         "sampler; use plain guidance_scale"
                     )
-            if flow:
+            if consistency:
+                fn = self._sample_jit(
+                    "consistency", cfg_scale=guidance_scale,
+                    clip=self.clip_while_generating,
+                    n_steps=int(num_sample_steps or 1),
+                    sigma_data=self.cm.sigma_data,
+                    sigma_min=self.cm.sigma_min,
+                    sigma_max=self.cm.sigma_max,
+                    rho=self.cm.rho,
+                )
+            elif flow:
                 fn = self._sample_jit(
                     "flow", cfg_scale=guidance_scale,
                     clip=self.clip_while_generating,

@@ -1105,6 +1105,85 @@ def flow_sample_loop(
     return x_final
 
 
+def consistency_sample_loop(
+    apply_fn: Callable,
+    params,
+    tables: DiffusionTables,
+    x_t: jax.Array,
+    key: Optional[jax.Array] = None,
+    *,
+    n_steps: int = 1,
+    sigma_data: float = 0.5,
+    sigma_min: float = 0.002,
+    sigma_max: float = 80.0,
+    rho: float = 7.0,
+    clip: bool = False,
+    y: Optional[jax.Array] = None,
+    timestep_map: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Native sampling for a model trained with
+    ``prediction_type="consistency"`` (Song et al., arXiv:2303.01469
+    alg. 1): one forward pass maps noise straight to data —
+
+        x0 = f(sigma_max * z, sigma_max)
+
+    — and ``n_steps`` > 1 runs multistep consistency sampling: re-noise
+    the current estimate to the next (lower) sigma on the rho-warped
+    Karras grid and denoise again,
+
+        x = x0 + sqrt(tau_k^2 - sigma_min^2) z_k;   x0 = f(x, tau_k).
+
+    ``apply_fn`` is the RAW network F — this loop owns the
+    boundary-condition preconditioning (core/consistency.py::cm_apply),
+    so wrapping ``apply_fn`` in make_cfg_apply_fn guides correctly (a
+    lerp on F is a lerp on f).  ``x_t`` is standard normal noise
+    (endpoint-uniform with every other loop); re-noising draws from
+    ``key`` (required only for ``n_steps`` > 1 — the 1-step path is
+    deterministic given x_t).  ``clip`` clamps each f output to [-1, 1].
+    ``tables``/``timestep_map`` are accepted for signature uniformity
+    and unused.
+    """
+    from ..core.consistency import ConsistencyConfig, cm_apply
+
+    n = int(n_steps)
+    if n < 1:
+        raise ValueError("need at least 1 consistency step")
+    if n > 1 and key is None:
+        raise ValueError("multistep consistency sampling re-noises between "
+                         "steps and needs a PRNG key")
+    cfg = ConsistencyConfig(
+        sigma_data=sigma_data, sigma_min=sigma_min, sigma_max=sigma_max,
+        rho=rho,
+    )
+    b = x_t.shape[0]
+
+    def f(x, sigma):
+        sig_vec = jnp.full((b,), sigma, jnp.float32)
+        out = cm_apply(apply_fn, params, x, sig_vec, y, cfg)
+        return jnp.clip(out, -1.0, 1.0) if clip else out
+
+    x0 = f(sigma_max * x_t, jnp.float32(sigma_max))
+    if n == 1:
+        return x0
+
+    from ..core.edm import karras_sigma_grid
+
+    taus = jnp.asarray(
+        karras_sigma_grid(n, sigma_min, sigma_max, rho)[1:], jnp.float32
+    )
+
+    def body(x0, step):
+        tau, i = step
+        z = jax.random.normal(jax.random.fold_in(key, i), x0.shape, x0.dtype)
+        x = x0 + jnp.sqrt(
+            jnp.maximum(jnp.square(tau) - sigma_min**2, 0.0)
+        ) * z
+        return f(x, tau), None
+
+    x_final, _ = jax.lax.scan(body, x0, (taus, jnp.arange(n - 1)))
+    return x_final
+
+
 def inpaint_sample_loop(
     apply_fn: Callable,
     params,
