@@ -185,7 +185,14 @@ def run_sampling(cfg) -> None:
         plt.close(fig)
         print(f"[sample] wrote {path}")
 
-    if cfg.get("inpaint", False):
+    if (cfg.get("inpaint", False) or cfg.get("detailed_viz", False)) and \
+            engine.prediction_type == "consistency":
+        # both panels run table-driven chains through the eps-view, which
+        # a consistency model doesn't have — skip with a notice instead of
+        # dying mid-command (mirrors the regular_viz gate above)
+        print("[sample] inpaint/detailed_viz need the eps-view; skipped "
+              'for prediction_type="consistency"')
+    elif cfg.get("inpaint", False):
         # RePaint inpainting panel (beyond the reference): mask val images
         # and fill the hidden region conditioned on the rest
         import matplotlib
@@ -253,7 +260,8 @@ def run_sampling(cfg) -> None:
         plt.close(fig)
         print(f"[sample] wrote {path}")
 
-    if cfg.get("detailed_viz", False):
+    if cfg.get("detailed_viz", False) and \
+            engine.prediction_type != "consistency":
         run_detailed_viz(
             engine, run_cfg, media_dir, normalize, n_images=cfg.get("n_images", 4)
         )

@@ -1168,8 +1168,13 @@ def consistency_sample_loop(
 
     from ..core.edm import karras_sigma_grid
 
+    # the n-1 re-noise levels come from the INTERIOR of an (n+1)-point
+    # grid: the endpoints would waste an NFE (a tau at sigma_max repeats
+    # the first denoise's level; a tau at sigma_min makes f an exact
+    # no-op through the boundary condition c_skip=1, c_out=0)
     taus = jnp.asarray(
-        karras_sigma_grid(n, sigma_min, sigma_max, rho)[1:], jnp.float32
+        karras_sigma_grid(n + 1, sigma_min, sigma_max, rho)[1:-1],
+        jnp.float32,
     )
 
     def body(x0, step):

@@ -95,13 +95,9 @@ def make_teacher_denoiser(teacher) -> Callable:
     # table-trained teacher through the eps-view
     eps_view = teacher._apply
     tables = teacher.tables
-    sig_vp = jnp.sqrt((1.0 - tables.alphas_hat) / tables.alphas_hat)
-    T = tables.diffusion_steps
 
     def denoise(params, x, sigma, y):
-        t = jnp.clip(
-            jnp.searchsorted(sig_vp, sigma) + 1, 1, T
-        ).astype(jnp.int32)
+        t = _nearest_t_by_sigma(tables, sigma)
         bshape = (-1,) + (1,) * (x.ndim - 1)
         sig = sigma.reshape(bshape)
         x_vp = x / jnp.sqrt(1.0 + jnp.square(sig))  # abar = 1/(1+sigma^2)
@@ -124,12 +120,34 @@ def _pair_draw(cfg: ConsistencyConfig, key, batch: int):
     return hi_tab[i], lo_tab[i]
 
 
+def _sigma_table(tables: DiffusionTables):
+    """The schedule's own VE sigma per 1-indexed timestep (ascending)."""
+    return jnp.sqrt((1.0 - tables.alphas_hat) / tables.alphas_hat)
+
+
+def _nearest_t_by_sigma(tables: DiffusionTables, sigma):
+    """The 1-indexed timestep whose table sigma is NEAREST to ``sigma``
+    in log-sigma (geometric midpoint tie-break) — the conditioning
+    lookup for table-teacher denoisers.  A plain searchsorted is a
+    ceiling lookup and would bias every off-grid sigma one step high."""
+    sig_vp = _sigma_table(tables)
+    T = tables.diffusion_steps
+    i_hi = jnp.clip(jnp.searchsorted(sig_vp, sigma), 0, T - 1)
+    i_lo = jnp.maximum(i_hi - 1, 0)
+    log_s = jnp.log(sigma)
+    pick_lo = (log_s - jnp.log(sig_vp[i_lo])) <= (
+        jnp.log(sig_vp[i_hi]) - log_s
+    )
+    return jnp.where(pick_lo, i_lo, i_hi).astype(jnp.int32) + 1
+
+
 def _vp_bucket(tables: DiffusionTables, sigma):
     """Map a continuous sigma onto the engine's discrete VP grid for the
-    loss-history ring (logging only; same as make_edm_train_step)."""
-    sig_vp = jnp.sqrt((1.0 - tables.alphas_hat) / tables.alphas_hat)
+    loss-history ring (logging only; the ceiling convention, same as
+    make_edm_train_step's bucketing)."""
     return jnp.clip(
-        jnp.searchsorted(sig_vp, sigma) + 1, 1, tables.diffusion_steps
+        jnp.searchsorted(_sigma_table(tables), sigma) + 1,
+        1, tables.diffusion_steps,
     ).astype(jnp.int32)
 
 

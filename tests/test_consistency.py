@@ -229,6 +229,34 @@ def test_denoiser_table_teacher_exact_on_grid(tables):
         )
 
 
+def test_nearest_t_lookup_not_ceiling(tables):
+    """_nearest_t_by_sigma rounds to the CLOSER table timestep: a sigma
+    epsilon above the t=k table sigma must stay at t=k, not jump to k+1
+    (a plain searchsorted ceiling would bias every off-grid sigma one
+    step high)."""
+    from probabilisticdeepdiffusionmodels_tpu.train.consistency import (
+        _nearest_t_by_sigma, _sigma_table,
+    )
+
+    sig_tab = np.asarray(_sigma_table(tables))
+    k = T // 2  # 1-indexed t = k+1 has table sigma sig_tab[k]
+    just_above = jnp.asarray([float(sig_tab[k]) * 1.0001])
+    assert int(_nearest_t_by_sigma(tables, just_above)[0]) == k + 1
+    # geometric midpoint sends the upper half to the next timestep
+    upper = jnp.asarray(
+        [float(np.exp(0.9 * np.log(sig_tab[k + 1])
+                      + 0.1 * np.log(sig_tab[k])))]
+    )
+    assert int(_nearest_t_by_sigma(tables, upper)[0]) == k + 2
+    # out-of-range sigmas clamp to the table ends
+    assert int(_nearest_t_by_sigma(
+        tables, jnp.asarray([float(sig_tab[0]) / 10])
+    )[0]) == 1
+    assert int(_nearest_t_by_sigma(
+        tables, jnp.asarray([float(sig_tab[-1]) * 10])
+    )[0]) == T
+
+
 # ------------------------------------------------- sampler (analytic)
 
 
@@ -292,7 +320,9 @@ def test_multistep_sampler_preserves_marginal(tables):
         sigma_min=cfg.sigma_min, sigma_max=cfg.sigma_max,
     )
     assert abs(float(np.std(multi)) - S_DATA) < 0.05
-    assert float(np.mean(np.abs(np.asarray(one) - np.asarray(multi)))) > 0.01
+    # the re-noise levels are grid-INTERIOR (neither endpoint): each extra
+    # step does real work, so the samples differ materially from 1-step
+    assert float(np.mean(np.abs(np.asarray(one) - np.asarray(multi)))) > 0.05
 
 
 def test_multistep_needs_key(tables):
@@ -349,9 +379,14 @@ def test_cd_step_learns_from_exact_teacher(tables):
 
 # ------------------------------------------------- engine integration
 
+# use_scale_shift_norm: at C<=32 GroupNorm32 has size-1 groups and the
+# ADDITIVE time/sigma conditioning is exactly erased by per-channel mean
+# subtraction (CLAUDE.md gotcha) — FiLM keeps the c_noise path live so
+# these tests exercise a sigma-aware network
 MODEL_CFG = dict(
     name="unet", in_channels=1, model_channels=16, num_res_blocks=1,
     attention_resolutions=[], channel_mult=[1, 2], num_heads=1,
+    use_scale_shift_norm=True,
 )
 
 
@@ -394,7 +429,7 @@ def test_engine_consistency_sampling(engine):
     assert s1.shape == (4, 8, 8, 1) and s4.shape == (4, 8, 8, 1)
     np.testing.assert_array_equal(s1, s1b)  # deterministic per seed
     assert np.isfinite(s1).all() and np.isfinite(s4).all()
-    assert float(np.mean(np.abs(s1 - s4))) > 1e-6
+    assert float(np.mean(np.abs(s1 - s4))) > 1e-3
 
 
 def test_engine_rejects_eps_view_consumers(engine):
