@@ -142,6 +142,15 @@ CONFIG_SETS = {
         ("flow_10", dict(flow=True, num_sample_steps=10)),
         ("flow_25", dict(flow=True, num_sample_steps=25)),
     ],
+    # consistency-student envelope (round 4): native 1/2/4-step sampling
+    # on a consistency-distilled run (arXiv:2303.01469) — comparable
+    # arm-for-arm with the "fewstep" flow numbers; no "exact" arm (a
+    # consistency model has no eps-view for the ancestral chain)
+    "cm": [
+        ("cm_1", dict(consistency=True, num_sample_steps=1)),
+        ("cm_2", dict(consistency=True, num_sample_steps=2)),
+        ("cm_4", dict(consistency=True, num_sample_steps=4)),
+    ],
     # EDM Alg.-2 stochastic churn sweep on the Heun solver (r4): does
     # re-noising during integration buy distributional quality on an
     # imperfect model, as EDM reports for small datasets?
