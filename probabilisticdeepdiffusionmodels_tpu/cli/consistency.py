@@ -47,7 +47,7 @@ def run_consistency_distillation(cfg) -> dict:
     cm_cfg = {
         k: cfg[k]
         for k in ("sigma_data", "sigma_min", "sigma_max", "rho",
-                  "grid_size", "metric", "huber_c", "weighting")
+                  "grid_size", "metric", "huber_c", "weighting", "target")
         if cfg.get(k) is not None
     } or None
     student = consistency_student(

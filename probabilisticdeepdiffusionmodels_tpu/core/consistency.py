@@ -77,6 +77,17 @@ class ConsistencyConfig(NamedTuple):
     huber_c: float = 0.0
     # "ict": lambda = 1/(sigma_hi - sigma_lo) (iCT eq. 10); or "none"
     weighting: str = "ict"
+    # target network: "stopgrad" (theta^- = stopgrad(theta), the iCT
+    # choice) or "ema" (theta^- = the state's EMA params, the original
+    # CM alg. 2/3 choice — requires the engine's ema to be set)
+    target: str = "stopgrad"
+    # iCT §3.4 N-annealing for CT: when grid_init > 0, the training grid
+    # DOUBLES from grid_init up to grid_size over anneal_steps optimizer
+    # steps (coarse grids early = strong learning signal, fine grids
+    # late = low estimator bias).  0 = fixed grid_size (the default; CD
+    # always uses the fixed grid).
+    grid_init: int = 0
+    anneal_steps: int = 0
 
     def validate(self):
         if not (0.0 < self.sigma_min < self.sigma_max):
@@ -90,6 +101,16 @@ class ConsistencyConfig(NamedTuple):
             raise ValueError(f'unknown metric "{self.metric}"')
         if self.weighting not in ("ict", "none"):
             raise ValueError(f'unknown weighting "{self.weighting}"')
+        if self.target not in ("stopgrad", "ema"):
+            raise ValueError(f'unknown target "{self.target}"')
+        if self.grid_init:
+            if not (2 <= self.grid_init <= self.grid_size):
+                raise ValueError(
+                    f"grid_init={self.grid_init} must be in "
+                    f"[2, grid_size={self.grid_size}]"
+                )
+            if self.anneal_steps < 1:
+                raise ValueError("grid annealing needs anneal_steps >= 1")
         return self
 
 

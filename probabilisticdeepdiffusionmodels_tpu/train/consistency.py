@@ -120,6 +120,43 @@ def _pair_draw(cfg: ConsistencyConfig, key, batch: int):
     return hi_tab[i], lo_tab[i]
 
 
+def _anneal_tables(cfg: ConsistencyConfig):
+    """Precomputed pair tables for iCT N-annealing (§3.4): one row per
+    doubling level grid_init, 2*grid_init, ..., grid_size, each a Karras
+    grid of that size padded (with its own last pair) to a common width
+    so the whole schedule is ONE static [K, grid_size-1] gather inside
+    jit.  Returns (hi[K, W], lo[K, W], n_pairs[K], steps_per_level)."""
+    sizes = [cfg.grid_init]
+    while sizes[-1] < cfg.grid_size:
+        sizes.append(min(sizes[-1] * 2, cfg.grid_size))
+    width = cfg.grid_size - 1
+    his, los, n_pairs = [], [], []
+    for n in sizes:
+        g = karras_sigma_grid(n, cfg.sigma_min, cfg.sigma_max, cfg.rho)
+        pad = width - (n - 1)
+        his.append(np.concatenate([g[:-1], np.full(pad, g[-2])]))
+        los.append(np.concatenate([g[1:], np.full(pad, g[-1])]))
+        n_pairs.append(n - 1)
+    steps_per = max(1, int(cfg.anneal_steps) // len(sizes))
+    return (
+        jnp.asarray(np.stack(his), jnp.float32),
+        jnp.asarray(np.stack(los), jnp.float32),
+        jnp.asarray(n_pairs, jnp.int32),
+        steps_per,
+    )
+
+
+def _pair_draw_annealed(cfg: ConsistencyConfig, tabs, key, batch: int,
+                        step):
+    """Per-sample adjacent pairs from the annealing level active at
+    ``step`` (a traced scalar): level = step // steps_per_level, clamped
+    to the last level once the schedule is exhausted."""
+    hi_tab, lo_tab, n_pairs, steps_per = tabs
+    level = jnp.clip(step // steps_per, 0, hi_tab.shape[0] - 1)
+    i = jax.random.randint(key, (batch,), 0, n_pairs[level])
+    return hi_tab[level, i], lo_tab[level, i], n_pairs[level] + 1
+
+
 def _sigma_table(tables: DiffusionTables):
     """The schedule's own VE sigma per 1-indexed timestep (ascending)."""
     return jnp.sqrt((1.0 - tables.alphas_hat) / tables.alphas_hat)
@@ -164,9 +201,10 @@ def make_cd_step(
     dx/dsigma = (x - D(x; sigma))/sigma down to the adjacent grid sigma
     (arXiv:2303.01469 alg. 2 with the Heun solver); the student's
     f(x_hi, sigma_hi) regresses stopgrad(f(x_lo, sigma_lo)) under the
-    iCT metric/weighting.  The target network is stopgrad(theta) — the
-    iCT choice (arXiv:2310.14189 §3.2), no separate EMA copy; the
-    engine-level sampling EMA is independent."""
+    iCT metric/weighting.  The target network theta^- is stopgrad(theta)
+    — the iCT choice (arXiv:2310.14189 §3.2) — or the state's EMA params
+    with ``cfg.target="ema"`` (the original CM alg. 2, where theta^- is
+    exactly EMA(theta) at the sampling-EMA decay)."""
     cfg.validate()
 
     def step(state: TrainState, teacher_params, x0: jax.Array, y=None):
@@ -187,11 +225,16 @@ def make_cd_step(
             x_euler - denoise_teacher(teacher_params, x_euler, sig_lo, y)
         ) / lo
         x_lo = jax.lax.stop_gradient(x_hi + (lo - hi) * 0.5 * (d1 + d2))
+        tp = _target_params(cfg, state)
 
         def loss_fn(params):
             pred = cm_apply(student_apply_raw, params, x_hi, sig_hi, y, cfg)
             tgt = jax.lax.stop_gradient(
-                cm_apply(student_apply_raw, params, x_lo, sig_lo, y, cfg)
+                cm_apply(
+                    student_apply_raw,
+                    params if tp is None else tp,
+                    x_lo, sig_lo, y, cfg,
+                )
             )
             per_sample = pair_weight(sig_hi, sig_lo, cfg.weighting) * \
                 cm_metric(pred, tgt, cfg.metric, cfg.huber_c)
@@ -212,26 +255,56 @@ def make_cd_step(
     return step
 
 
-def _ct_parts(cfg: ConsistencyConfig, rng, x0):
+def _ct_parts(cfg: ConsistencyConfig, rng, x0, tabs=None, step=None):
     """Shared CT noising: adjacent pair + the SAME z at both levels
-    (the theorem-2 unbiased trajectory estimator)."""
+    (the theorem-2 unbiased trajectory estimator).  With ``tabs``/
+    ``step``, the pair comes from the iCT annealing level active at
+    that step; grid_n (the active N) rides along for logging."""
     key_i, key_z = jax.random.split(rng)
-    sig_hi, sig_lo = _pair_draw(cfg, key_i, x0.shape[0])
+    if tabs is not None:
+        sig_hi, sig_lo, grid_n = _pair_draw_annealed(
+            cfg, tabs, key_i, x0.shape[0], step
+        )
+    else:
+        sig_hi, sig_lo = _pair_draw(cfg, key_i, x0.shape[0])
+        grid_n = jnp.asarray(cfg.grid_size, jnp.int32)
     bshape = (-1,) + (1,) * (x0.ndim - 1)
     z = jax.random.normal(key_z, x0.shape, jnp.float32)
     x_hi = x0 + sig_hi.reshape(bshape) * z
     x_lo = x0 + sig_lo.reshape(bshape) * z
-    return x_hi, sig_hi, x_lo, sig_lo
+    return x_hi, sig_hi, x_lo, sig_lo, grid_n
 
 
-def _ct_per_sample_loss(apply_fn, params, parts, y, cfg, **kwargs):
-    x_hi, sig_hi, x_lo, sig_lo = parts
+def _ct_per_sample_loss(apply_fn, params, parts, y, cfg,
+                        target_params=None, **kwargs):
+    """``target_params`` selects the target network theta^- (defaults to
+    ``params`` = the iCT stopgrad choice; pass EMA params for the
+    original CM choice)."""
+    x_hi, sig_hi, x_lo, sig_lo = parts[:4]
     pred = cm_apply(apply_fn, params, x_hi, sig_hi, y, cfg, **kwargs)
     tgt = jax.lax.stop_gradient(
-        cm_apply(apply_fn, params, x_lo, sig_lo, y, cfg, **kwargs)
+        cm_apply(
+            apply_fn,
+            params if target_params is None else target_params,
+            x_lo, sig_lo, y, cfg, **kwargs,
+        )
     )
     return pair_weight(sig_hi, sig_lo, cfg.weighting) * \
         cm_metric(pred, tgt, cfg.metric, cfg.huber_c)
+
+
+def _target_params(cfg: ConsistencyConfig, state: TrainState):
+    """theta^- per cfg.target: None (= use theta, stopgrad'd by the loss)
+    or the state's EMA params (original CM), which must exist."""
+    if cfg.target == "stopgrad":
+        return None
+    if state.ema_params is None:
+        raise ValueError(
+            'consistency target="ema" needs EMA params: set the '
+            "engine's ema decay (or use target=\"stopgrad\", the iCT "
+            "default)"
+        )
+    return state.ema_params
 
 
 def make_ct_train_step(
@@ -249,11 +322,19 @@ def make_ct_train_step(
     ``prediction_type="consistency"`` twin of make_train_step: same
     optimizer/EMA/metrics plumbing, the loss-history ring bucketed onto
     the VP grid by sigma_hi (logging only).  ``class_dropout_prob``
-    composes exactly as everywhere else (CFG training)."""
+    composes exactly as everywhere else (CFG training).
+
+    ``cfg.grid_init`` > 0 enables iCT §3.4 N-annealing: the training
+    grid doubles from grid_init to grid_size over anneal_steps,
+    selected per step INSIDE the one jitted program (a [K, N-1] table
+    gather — no retraces); the active N is reported as ``grid_n``.
+    ``cfg.target="ema"`` targets the state's EMA params (original CM)
+    instead of stopgrad(theta) (iCT)."""
     cfg.validate()
     if class_dropout_prob and null_class is None:
         raise ValueError("class_dropout_prob needs null_class (the index "
                          "of the model's cfg_null_class embedding row)")
+    tabs = _anneal_tables(cfg) if cfg.grid_init else None
 
     def step(state: TrainState, x0: jax.Array, y=None):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -264,14 +345,15 @@ def make_ct_train_step(
                 key_cfg, class_dropout_prob, (x0.shape[0],)
             )
             y = jnp.where(drop, jnp.full_like(y, null_class), y)
-        parts = _ct_parts(cfg, key_noise, x0)
+        parts = _ct_parts(cfg, key_noise, x0, tabs=tabs, step=state.step)
+        tp = _target_params(cfg, state)
 
         def loss_fn(params):
             kwargs = (
                 dict(rngs={"dropout": key_drop}, train=True) if dropout else {}
             )
             per_sample = _ct_per_sample_loss(
-                apply_fn, params, parts, y, cfg, **kwargs
+                apply_fn, params, parts, y, cfg, target_params=tp, **kwargs
             )
             return jnp.mean(per_sample), per_sample
 
@@ -286,6 +368,8 @@ def make_ct_train_step(
         )
         state = state.apply_gradients(grads)
         metrics = {"loss": loss, "grad_norm": global_norm(grads)}
+        if tabs is not None:
+            metrics["grid_n"] = parts[4]
         if watch:
             metrics["grad_norm_per_module"] = {
                 k: global_norm(v) for k, v in grads.items()

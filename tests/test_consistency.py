@@ -229,6 +229,65 @@ def test_denoiser_table_teacher_exact_on_grid(tables):
         )
 
 
+def test_anneal_tables_levels():
+    """iCT N-annealing (§3.4): doubling levels grid_init..grid_size, each
+    row a valid padded pair table; the level advances with the step and
+    clamps at the last level."""
+    from probabilisticdeepdiffusionmodels_tpu.train.consistency import (
+        _anneal_tables, _pair_draw_annealed,
+    )
+
+    cfg = ConsistencyConfig(grid_init=4, grid_size=16, anneal_steps=300)
+    hi, lo, n_pairs, steps_per = _anneal_tables(cfg)
+    assert list(np.asarray(n_pairs)) == [3, 7, 15]  # N = 4, 8, 16
+    assert hi.shape == (3, 15) and lo.shape == (3, 15)
+    assert steps_per == 100
+    # every row: hi > lo everywhere (padding repeats the last real pair)
+    assert bool(jnp.all(hi > lo))
+    # endpoints of each level's REAL grid
+    for k, n in enumerate((4, 8, 16)):
+        assert float(hi[k, 0]) == pytest.approx(cfg.sigma_max, rel=1e-6)
+        assert float(lo[k, n - 2]) == pytest.approx(cfg.sigma_min, rel=1e-6)
+    key = jax.random.PRNGKey(0)
+    # step 0 -> level 0 (N=4); step 10_000 -> clamped to the last level
+    _, _, n0 = _pair_draw_annealed(cfg, (hi, lo, n_pairs, steps_per),
+                                   key, 256, jnp.asarray(0))
+    _, _, n_last = _pair_draw_annealed(cfg, (hi, lo, n_pairs, steps_per),
+                                       key, 256, jnp.asarray(10_000))
+    assert int(n0) == 4 and int(n_last) == 16
+    # drawn indices never reach the padding at level 0
+    h0, l0, _ = _pair_draw_annealed(cfg, (hi, lo, n_pairs, steps_per),
+                                    key, 4096, jnp.asarray(0))
+    real = set(np.round(np.asarray(hi[0, :3]), 6))
+    assert set(np.round(np.asarray(h0), 6)) <= real
+
+    with pytest.raises(ValueError, match="grid_init"):
+        ConsistencyConfig(grid_init=1, anneal_steps=10).validate()
+    with pytest.raises(ValueError, match="anneal_steps"):
+        ConsistencyConfig(grid_init=4).validate()
+    with pytest.raises(ValueError, match="target"):
+        ConsistencyConfig(target="frozen").validate()
+
+
+def test_engine_ct_anneal_and_ema_target():
+    """Engine-level CT with N-annealing reports grid_n doubling with the
+    step, and target="ema" trains (vs a clear error without EMA)."""
+    eng = make_engine(consistency_config=dict(
+        grid_init=4, grid_size=8, anneal_steps=4, target="ema",
+    ))
+    x = 0.5 * np.random.RandomState(3).randn(4, 8, 8, 1).astype("float32")
+    ns = [int(eng.training_step(x)["grid_n"]) for _ in range(5)]
+    assert ns[0] == 4 and ns[-1] == 8 and sorted(ns) == ns
+    assert np.isfinite(float(eng.validation_step(
+        x, rng=jax.random.PRNGKey(0))["val_loss"]))
+
+    no_ema = make_engine(ema=None, consistency_config=dict(
+        grid_size=8, target="ema",
+    ))
+    with pytest.raises(ValueError, match="EMA"):
+        no_ema.training_step(x)
+
+
 def test_nearest_t_lookup_not_ceiling(tables):
     """_nearest_t_by_sigma rounds to the CLOSER table timestep: a sigma
     epsilon above the t=k table sigma must stay at t=k, not jump to k+1
