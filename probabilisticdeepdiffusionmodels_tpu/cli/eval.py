@@ -31,11 +31,13 @@ def run_eval(cfg) -> dict:
     limit = (cfg.get("trainer") or {}).get("limit_test_batches")
     seed = int(cfg.get("seed", 0) or 0)
 
-    # ode_nll=true on a flow run adds the EXACT continuous-time
+    # ode_nll=true on a flow/edm run adds the EXACT continuous-time
     # likelihood (evals/ode_nll.py) next to the discrete VLB columns
     ode = bool(cfg.get("ode_nll", False))
-    if ode and engine.prediction_type != "flow":
-        raise ValueError('ode_nll=true needs a prediction_type="flow" run')
+    if ode and engine.prediction_type not in ("flow", "edm"):
+        raise ValueError(
+            'ode_nll=true needs a prediction_type="flow" or "edm" run'
+        )
 
     agg: dict = {}
     for i, (x, y) in enumerate(loader):

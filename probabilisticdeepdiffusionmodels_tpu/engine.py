@@ -1247,30 +1247,47 @@ class DiffusionEngine:
 
     def calculate_ode_likelihood(self, x, seed=0, use_ema=True, y=None,
                                  n_steps=100, n_probes=1):
-        """EXACT continuous-time likelihood through the flow model's own
+        """EXACT continuous-time likelihood through the model's own
         probability-flow ODE (evals/ode_nll.py; instantaneous change of
         variables + Hutchinson trace) — beyond the reference, whose only
-        likelihood is the discrete VLB.  Requires
-        ``prediction_type="flow"``; other engines report the discrete
-        VLB via calculate_likelihood.  Returns per-sample
-        log_likelihood / nll_bits_per_dim / prior_logp / delta_logp."""
-        if self.prediction_type != "flow":
+        likelihood is the discrete VLB.  Defined for the genuinely
+        continuous parameterizations: ``prediction_type="flow"`` (the
+        velocity ODE over t in [0, 1]) and ``"edm"`` (the sigma-space
+        ODE over the Karras grid; the sigma_min-smoothed density).
+        Table-trained engines report the discrete VLB via
+        calculate_likelihood.  Returns per-sample log_likelihood /
+        nll_bits_per_dim / prior_logp / delta_logp."""
+        if self.prediction_type not in ("flow", "edm"):
             raise ValueError(
-                "calculate_ode_likelihood integrates the flow velocity "
-                'ODE and needs prediction_type="flow"; use '
-                "calculate_likelihood (discrete VLB) instead"
+                "calculate_ode_likelihood integrates a continuous "
+                'probability-flow ODE and needs prediction_type="flow" '
+                'or "edm"; use calculate_likelihood (discrete VLB) '
+                "instead"
             )
-        from .evals.ode_nll import flow_ode_nll
+        from .evals.ode_nll import edm_ode_nll, flow_ode_nll
 
         cache_key = (int(n_steps), int(n_probes))
         fn = self._ode_nll_jits.get(cache_key)
         if fn is None:
-            fn = jax.jit(
-                lambda p, xx, k, yy: flow_ode_nll(
-                    self._apply_raw, p, xx, k,
-                    n_steps=int(n_steps), n_probes=int(n_probes), y=yy,
+            if self.prediction_type == "edm":
+                e = self.edm
+                fn = jax.jit(
+                    lambda p, xx, k, yy: edm_ode_nll(
+                        self._apply_raw, p, xx, k,
+                        sigma_data=e.sigma_data, sigma_min=e.sigma_min,
+                        sigma_max=e.sigma_max, rho=e.rho,
+                        n_steps=int(n_steps), n_probes=int(n_probes),
+                        y=yy,
+                    )
                 )
-            )
+            else:
+                fn = jax.jit(
+                    lambda p, xx, k, yy: flow_ode_nll(
+                        self._apply_raw, p, xx, k,
+                        n_steps=int(n_steps), n_probes=int(n_probes),
+                        y=yy,
+                    )
+                )
             self._ode_nll_jits[cache_key] = fn
         return fn(self.params(use_ema), jnp.asarray(x),
                   jax.random.PRNGKey(seed), self._cond(y))

@@ -1,15 +1,15 @@
-"""Continuous-time exact likelihood for flow-matching models via the
-probability-flow ODE (the instantaneous change of variables of Chen et
-al., Neural ODEs, arXiv:1806.07366 §4, with the Hutchinson trace
+"""Continuous-time exact likelihood for flow-matching AND EDM models via
+their probability-flow ODEs (the instantaneous change of variables of
+Chen et al., Neural ODEs, arXiv:1806.07366 §4, with the Hutchinson trace
 estimator as used by FFJORD, arXiv:1810.01367, and Song et al.'s
 likelihood evaluation for score ODEs, arXiv:2011.13456 App. D) — beyond
 the reference, whose only likelihood is the discrete-T VLB
 (src/engine.py:407-506).
 
 For a velocity field F with dx/dt = F(x, t) transporting data (t=0) to
-N(0, I) (t=1), the model's exact log-density at a data point is
+the prior (t=1), the model's exact log-density at a data point is
 
-    log p0(x0) = log N(x1; 0, I) + int_0^1 tr(dF/dx)(x_t, t) dt,
+    log p0(x0) = log p_prior(x1) + int_0^1 tr(dF/dx)(x_t, t) dt,
 
 where x_t solves the ODE forward from x0.  The trace is estimated per
 step with Hutchinson probes  tr(A) = E_v[v^T A v]  (v Rademacher, so the
@@ -17,10 +17,20 @@ estimate is EXACT for diagonal Jacobians and unbiased in general), each
 probe costing one JVP — so the whole evaluation is (n_steps x
 (1 + n_probes)) network costs, fused into one lax.scan.
 
-This is the flow twin of the discrete eps-view VLB the engine already
-reports (evals/nll.py): the VLB bounds the likelihood of the 1000-step
-DISCRETE chain, while this integrates the CONTINUOUS ODE the flow model
-actually defines.  Both are reported in bits/dim of the continuous
+Two instantiations:
+* ``flow_ode_nll``: dx/dt = F(x, t) over uniform t in [0, 1], prior
+  N(0, I).
+* ``edm_ode_nll``: dx/dsigma = (x - D(x; sigma))/sigma over the
+  rho-warped Karras grid sigma_min -> sigma_max, prior N(0, sigma_max^2)
+  (Song et al. App. D in EDM's sigma parameterization).  The integral
+  starts at sigma_min, so the value is the exact likelihood of the
+  sigma_min-SMOOTHED model density — the standard EDM convention
+  (sigma_min ~ 0.002 perturbs bits/dim negligibly at image scales).
+
+This is the continuous twin of the discrete eps-view VLB the engine
+already reports (evals/nll.py): the VLB bounds the likelihood of the
+1000-step DISCRETE chain, while these integrate the CONTINUOUS ODE the
+model actually defines.  All reported in bits/dim of the continuous
 density on the engine's [-1, 1]-normalized inputs; no dequantization
 offset is applied (add log(127.5) per dim to compare against 8-bit
 image codecs).
@@ -36,7 +46,61 @@ import numpy as np
 
 from ..core.flow import TIME_SCALE
 
-__all__ = ["flow_ode_nll"]
+__all__ = ["flow_ode_nll", "edm_ode_nll"]
+
+
+def _hutchinson_ode_logp(
+    vel: Callable,
+    x0: jax.Array,
+    key: jax.Array,
+    grid: np.ndarray,
+    n_probes: int,
+    heun: bool,
+):
+    """Integrate the coupled (state, log-det) ODE dx/ds = vel(x, s) over
+    ``grid`` (data end first), returning (x_terminal, delta_logp).  The
+    Hutchinson probes are drawn ONCE and reused at every step (FFJORD's
+    variance-reduction choice: the per-sample estimate stays an unbiased
+    trace integral)."""
+    b = x0.shape[0]
+    probes = (
+        jax.random.rademacher(key, (n_probes, *x0.shape), jnp.float32)
+        if hasattr(jax.random, "rademacher")
+        else jnp.sign(
+            jax.random.normal(key, (n_probes, *x0.shape), jnp.float32)
+        )
+    )
+
+    def vel_and_div(x, s):
+        f = lambda xx: vel(xx, s)
+        out = None
+        div = jnp.zeros((b,), jnp.float32)
+        for i in range(n_probes):
+            v = probes[i]
+            out, jv = jax.jvp(f, (x,), (v,))
+            div = div + jnp.sum((jv * v).reshape(b, -1), axis=1)
+        return out, div / n_probes
+
+    s_cur = jnp.asarray(grid[:-1], jnp.float32)
+    s_next = jnp.asarray(grid[1:], jnp.float32)
+
+    def body(carry, ss):
+        x, ld = carry
+        s_a, s_b = ss
+        ds = s_b - s_a
+        f_a, d_a = vel_and_div(x, s_a)
+        x_eul = x + ds * f_a
+        ld_eul = ld + ds * d_a
+        if not heun:
+            return (x_eul, ld_eul), None
+        f_b, d_b = vel_and_div(x_eul, s_b)
+        x_h = x + ds * 0.5 * (f_a + f_b)
+        ld_h = ld + ds * 0.5 * (d_a + d_b)
+        return (x_h, ld_h), None
+
+    return jax.lax.scan(
+        body, (x0, jnp.zeros((b,), jnp.float32)), (s_cur, s_next)
+    )[0]
 
 
 def flow_ode_nll(
@@ -69,55 +133,76 @@ def flow_ode_nll(
         raise ValueError("need at least 1 Hutchinson probe")
     b = x0.shape[0]
     dims = int(np.prod(x0.shape[1:]))
-    # Rademacher probes: exact for diagonal Jacobians, unbiased otherwise
-    probes = (
-        jax.random.rademacher(key, (n_probes, *x0.shape), jnp.float32)
-        if hasattr(jax.random, "rademacher")
-        else jnp.sign(
-            jax.random.normal(key, (n_probes, *x0.shape), jnp.float32)
-        )
-    )
 
     def vel(x, t):
         t_vec = jnp.full((b,), t * TIME_SCALE, jnp.float32)
         return apply_fn(params, x, t_vec, y)
 
-    def vel_and_div(x, t):
-        f = lambda xx: vel(xx, t)
-        out = None
-        div = jnp.zeros((b,), jnp.float32)
-        for i in range(n_probes):
-            v = probes[i]
-            out, jv = jax.jvp(f, (x,), (v,))
-            div = div + jnp.sum(
-                (jv * v).reshape(b, -1), axis=1
-            )
-        return out, div / n_probes
-
     grid = np.linspace(0.0, 1.0, n_steps + 1)
-    t_cur = jnp.asarray(grid[:-1], jnp.float32)
-    t_next = jnp.asarray(grid[1:], jnp.float32)
-
-    def body(carry, ts):
-        x, ld = carry
-        t_a, t_b = ts
-        dt = t_b - t_a
-        f_a, d_a = vel_and_div(x, t_a)
-        x_eul = x + dt * f_a
-        ld_eul = ld + dt * d_a
-        if not heun:
-            return (x_eul, ld_eul), None
-        f_b, d_b = vel_and_div(x_eul, t_b)
-        x_h = x + dt * 0.5 * (f_a + f_b)
-        ld_h = ld + dt * 0.5 * (d_a + d_b)
-        return (x_h, ld_h), None
-
-    (x1, delta_logp), _ = jax.lax.scan(
-        body, (x0, jnp.zeros((b,), jnp.float32)), (t_cur, t_next)
+    x1, delta_logp = _hutchinson_ode_logp(
+        vel, x0, key, grid, n_probes, heun
     )
     prior_logp = -0.5 * (
         jnp.sum(jnp.square(x1).reshape(b, -1), axis=1)
         + dims * np.log(2.0 * np.pi)
+    )
+    logp = prior_logp + delta_logp
+    return {
+        "log_likelihood": logp,
+        "nll_bits_per_dim": -logp / (dims * np.log(2.0)),
+        "prior_logp": prior_logp,
+        "delta_logp": delta_logp,
+    }
+
+
+def edm_ode_nll(
+    apply_fn: Callable,
+    params,
+    x0: jax.Array,
+    key: jax.Array,
+    *,
+    sigma_data: float = 0.5,
+    sigma_min: float = 0.002,
+    sigma_max: float = 80.0,
+    rho: float = 7.0,
+    n_steps: int = 100,
+    n_probes: int = 1,
+    heun: bool = True,
+    y: Optional[jax.Array] = None,
+) -> Dict[str, jax.Array]:
+    """Exact ODE log-likelihood of ``x0`` under an EDM-trained denoiser.
+
+    ``apply_fn`` is the RAW network F; this function owns the EDM
+    preconditioning (core/edm.py eq. 7) and integrates the sigma-space
+    PF-ODE dx/dsigma = (x - D(x; sigma))/sigma from sigma_min up to
+    sigma_max over the ascending rho-warped Karras grid (denser near the
+    data end, where the field curves most), accumulating the Hutchinson
+    divergence; the terminal prior is N(0, sigma_max^2 I).  Returns the
+    same fields as flow_ode_nll (likelihood of the sigma_min-smoothed
+    density — the standard EDM convention)."""
+    from ..core.edm import karras_sigma_grid, precond
+
+    if n_steps < 1:
+        raise ValueError("need at least 1 integration step")
+    if n_probes < 1:
+        raise ValueError("need at least 1 Hutchinson probe")
+    b = x0.shape[0]
+    dims = int(np.prod(x0.shape[1:]))
+
+    def vel(x, sigma):
+        c_skip, c_out, c_in, c_noise = precond(sigma, sigma_data)
+        t_vec = jnp.full((b,), c_noise, jnp.float32)
+        denoised = c_skip * x + c_out * apply_fn(params, c_in * x, t_vec, y)
+        return (x - denoised) / sigma
+
+    # ascending sigma_min -> sigma_max (the sampler grid reversed)
+    grid = karras_sigma_grid(n_steps + 1, sigma_min, sigma_max, rho)[::-1]
+    x1, delta_logp = _hutchinson_ode_logp(
+        vel, x0, key, np.ascontiguousarray(grid), n_probes, heun
+    )
+    prior_logp = -0.5 * (
+        jnp.sum(jnp.square(x1).reshape(b, -1), axis=1) / sigma_max**2
+        + dims * np.log(2.0 * np.pi * sigma_max**2)
     )
     logp = prior_logp + delta_logp
     return {

@@ -125,6 +125,74 @@ def test_engine_ode_likelihood_endpoint():
         eps.calculate_ode_likelihood(x)
 
 
+def _gaussian_edm_raw(c2, sigma_data=0.5):
+    """Exact EDM raw net for data ~ N(0, c2 I): inverting the
+    preconditioning on the analytic denoiser D(x, s) = c2/(c2+s^2) x."""
+    from probabilisticdeepdiffusionmodels_tpu.core.edm import precond
+
+    def apply_fn(p, x_in, c_noise, y=None, **kw):
+        sigma = jnp.exp(4.0 * c_noise)
+        c_skip, c_out, c_in, _ = precond(sigma, sigma_data)
+        b = (-1,) + (1,) * (x_in.ndim - 1)
+        x = x_in / c_in.reshape(b)
+        D = c2 / (c2 + jnp.square(sigma)).reshape(b) * x
+        return (D - c_skip.reshape(b) * x) / c_out.reshape(b)
+
+    return apply_fn
+
+
+def test_edm_ode_nll_matches_analytic_gaussian():
+    """The sigma-space PF-ODE of the exact Gaussian denoiser transports
+    N(0, c2 + sigma_min^2) (the smoothed data density) to
+    N(0, c2 + sigma_max^2); edm_ode_nll must converge to the smoothed
+    closed form (diagonal Jacobian -> one Rademacher probe exact)."""
+    from probabilisticdeepdiffusionmodels_tpu.evals.ode_nll import (
+        edm_ode_nll,
+    )
+
+    c2 = 0.49
+    s_min, s_max = 0.002, 20.0
+    apply_fn = _gaussian_edm_raw(c2)
+    key = jax.random.PRNGKey(4)
+    x = jax.random.normal(key, (8, 4, 4, 1), jnp.float32) * np.sqrt(c2)
+    D = 16
+    v = c2 + s_min**2
+    want = -0.5 * (
+        np.sum(np.asarray(x).reshape(8, -1) ** 2, axis=1) / v
+        + D * np.log(2 * np.pi * v)
+    )
+
+    def err(n):
+        got = edm_ode_nll(
+            apply_fn, {}, x, jax.random.PRNGKey(5),
+            sigma_min=s_min, sigma_max=s_max, n_steps=n,
+        )["log_likelihood"]
+        return float(np.abs(np.asarray(got) - want).max())
+
+    e = [err(n) for n in (32, 64, 128)]
+    assert e[0] > e[1] > e[2], e
+    # 2nd-order signature: ~4x error drop per grid doubling
+    assert e[0] / e[1] > 3.0 and e[1] / e[2] > 3.0, e
+    assert e[2] < 0.05, e
+
+
+def test_engine_edm_ode_likelihood_endpoint():
+    eng = DiffusionEngine(
+        model_config=dict(
+            name="unet", in_channels=1, model_channels=16,
+            num_res_blocks=1, attention_resolutions=[],
+            channel_mult=[1, 2], use_scale_shift_norm=True,
+        ),
+        optimizer_config={"lr": 2e-3}, diffusion_steps=10, mode="cosine",
+        resolution=8, ema=0.99, seed=0, prediction_type="edm",
+    )
+    x = jnp.full((4, 8, 8, 1), 0.3, jnp.float32)
+    out = eng.calculate_ode_likelihood(x, n_steps=8)
+    assert out["log_likelihood"].shape == (4,)
+    for v in out.values():
+        assert np.all(np.isfinite(np.asarray(v)))
+
+
 @pytest.mark.slow
 def test_eval_cli_ode_nll(tmp_path):
     """cli.eval ode_nll=true on a flow run adds test_ode_nll (bits/dim)
