@@ -38,9 +38,11 @@ f(x_hi, sigma_hi) toward stopgrad(f(x_lo, sigma_lo)), where x_lo is
   SAME z that built x_hi = x0 + sigma_hi z — the unbiased trajectory
   estimator (arXiv:2303.01469 thm. 2; train/step.py wires it as the
   engine's prediction_type="consistency" train step).
-Both use the iCT choices: stopgrad(theta) as the target network (no
-separate EMA copy), the pseudo-Huber metric, and the 1/(sigma_hi -
-sigma_lo) weighting.
+Both default to the iCT choices: stopgrad(theta) as the target network
+theta^- (no separate EMA copy), the pseudo-Huber metric, and the
+1/(sigma_hi - sigma_lo) weighting; ``target="ema"`` switches theta^- to
+the state's EMA params (the original CM alg. 2/3), and CT can anneal
+its grid per iCT §3.4 (``grid_init``/``anneal_steps``).
 
 This module holds the pure math; the CD driver lives in
 train/consistency.py and the sampler in

@@ -42,7 +42,10 @@ from typing import NamedTuple
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["EDMConfig", "precond", "loss_weight", "karras_sigma_grid"]
+__all__ = [
+    "EDMConfig", "precond", "edm_denoise", "loss_weight",
+    "karras_sigma_grid",
+]
 
 
 class EDMConfig(NamedTuple):
@@ -74,6 +77,29 @@ def precond(sigma, sigma_data: float):
     c_in = 1.0 / jnp.sqrt(denom)
     c_noise = jnp.log(sigma) / 4.0
     return c_skip, c_out, c_in, c_noise
+
+
+def edm_denoise(apply_fn, params, x, sigma, sigma_data: float, y=None,
+                **kwargs):
+    """D(x; sigma) = c_skip x + c_out F(c_in x, c_noise) — the one
+    composition of eq. 7 with the raw network, shared by the native
+    sampler, the consistency teacher denoiser, and the exact ODE
+    likelihood (a convention change lands in ONE place; the eps-view
+    wrapper keeps its own fused copy because its feature/cache
+    passthrough interleaves with the composition).  ``sigma`` is a
+    scalar (one noise level for the whole batch) or a per-sample [b]
+    vector; the conditioning vector is always [b]."""
+    sigma = jnp.asarray(sigma, jnp.float32)
+    c_skip, c_out, c_in, c_noise = precond(sigma, sigma_data)
+    b = x.shape[0]
+    t_vec = jnp.broadcast_to(jnp.atleast_1d(c_noise), (b,))
+    if sigma.ndim:  # per-sample: broadcast coefficients over the image
+        bshape = (-1,) + (1,) * (x.ndim - 1)
+        c_skip, c_out, c_in = (
+            c.reshape(bshape) for c in (c_skip, c_out, c_in)
+        )
+    out = apply_fn(params, c_in * x, t_vec, y, **kwargs)
+    return c_skip * x + c_out * out
 
 
 def loss_weight(sigma, sigma_data: float):

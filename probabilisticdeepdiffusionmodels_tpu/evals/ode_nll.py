@@ -14,8 +14,9 @@ the prior (t=1), the model's exact log-density at a data point is
 where x_t solves the ODE forward from x0.  The trace is estimated per
 step with Hutchinson probes  tr(A) = E_v[v^T A v]  (v Rademacher, so the
 estimate is EXACT for diagonal Jacobians and unbiased in general), each
-probe costing one JVP — so the whole evaluation is (n_steps x
-(1 + n_probes)) network costs, fused into one lax.scan.
+probe costing one JVP — so the whole evaluation is n_steps x n_probes
+JVP costs for Euler and twice that for the default Heun integrator
+(each interval evaluates both endpoints), fused into one lax.scan.
 
 Two instantiations:
 * ``flow_ode_nll``: dx/dt = F(x, t) over uniform t in [0, 1], prior
@@ -180,7 +181,7 @@ def edm_ode_nll(
     divergence; the terminal prior is N(0, sigma_max^2 I).  Returns the
     same fields as flow_ode_nll (likelihood of the sigma_min-smoothed
     density — the standard EDM convention)."""
-    from ..core.edm import karras_sigma_grid, precond
+    from ..core.edm import edm_denoise, karras_sigma_grid
 
     if n_steps < 1:
         raise ValueError("need at least 1 integration step")
@@ -190,9 +191,7 @@ def edm_ode_nll(
     dims = int(np.prod(x0.shape[1:]))
 
     def vel(x, sigma):
-        c_skip, c_out, c_in, c_noise = precond(sigma, sigma_data)
-        t_vec = jnp.full((b,), c_noise, jnp.float32)
-        denoised = c_skip * x + c_out * apply_fn(params, c_in * x, t_vec, y)
+        denoised = edm_denoise(apply_fn, params, x, sigma, sigma_data, y)
         return (x - denoised) / sigma
 
     # ascending sigma_min -> sigma_max (the sampler grid reversed)

@@ -987,7 +987,7 @@ def edm_sample_loop(
     exactly as in Alg. 2 (here natively — no VP rescale needed);
     requires ``key``.
     """
-    from ..core.edm import karras_sigma_grid, precond
+    from ..core.edm import edm_denoise, karras_sigma_grid
 
     churn = float(s_churn) > 0.0
     if churn and key is None:
@@ -998,15 +998,11 @@ def edm_sample_loop(
     sig_next = jnp.asarray(
         np.concatenate([grid[1:], [0.0]]), jnp.float32
     )
-    b = x_t.shape[0]
     gamma_max = min(float(s_churn) / n, 2.0 ** 0.5 - 1.0)
 
     def denoise(x, sigma):
         """D(x; sigma) for a scalar (per-step) sigma."""
-        c_skip, c_out, c_in, c_noise = precond(sigma, sigma_data)
-        t_vec = jnp.full((b,), c_noise, jnp.float32)
-        out = apply_fn(params, c_in * x, t_vec, y)
-        denoised = c_skip * x + c_out * out
+        denoised = edm_denoise(apply_fn, params, x, sigma, sigma_data, y)
         if clip:
             denoised = jnp.clip(denoised, -1.0, 1.0)
         return denoised

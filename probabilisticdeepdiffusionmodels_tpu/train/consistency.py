@@ -65,16 +65,13 @@ def make_teacher_denoiser(teacher) -> Callable:
     """
     pt = teacher.prediction_type
     if pt == "edm":
-        from ..core.edm import precond
+        from ..core.edm import edm_denoise
 
         sigma_data = teacher.edm.sigma_data
         raw = teacher._apply_raw
 
         def denoise(params, x, sigma, y):
-            c_skip, c_out, c_in, c_noise = precond(sigma, sigma_data)
-            bshape = (-1,) + (1,) * (x.ndim - 1)
-            out = raw(params, c_in.reshape(bshape) * x, c_noise, y)
-            return c_skip.reshape(bshape) * x + c_out.reshape(bshape) * out
+            return edm_denoise(raw, params, x, sigma, sigma_data, y)
 
         return denoise
 
@@ -137,7 +134,10 @@ def _anneal_tables(cfg: ConsistencyConfig):
         his.append(np.concatenate([g[:-1], np.full(pad, g[-2])]))
         los.append(np.concatenate([g[1:], np.full(pad, g[-1])]))
         n_pairs.append(n - 1)
-    steps_per = max(1, int(cfg.anneal_steps) // len(sizes))
+    # K levels have K-1 transitions: the LAST level activates at step
+    # ~anneal_steps (not (K-1)/K of it), matching the documented "doubles
+    # from grid_init to grid_size over anneal_steps"
+    steps_per = max(1, int(cfg.anneal_steps) // max(1, len(sizes) - 1))
     return (
         jnp.asarray(np.stack(his), jnp.float32),
         jnp.asarray(np.stack(los), jnp.float32),
@@ -204,8 +204,17 @@ def make_cd_step(
     iCT metric/weighting.  The target network theta^- is stopgrad(theta)
     — the iCT choice (arXiv:2310.14189 §3.2) — or the state's EMA params
     with ``cfg.target="ema"`` (the original CM alg. 2, where theta^- is
-    exactly EMA(theta) at the sampling-EMA decay)."""
+    exactly EMA(theta) at the sampling-EMA decay).
+
+    Grid annealing is a CT mechanism (the papers distill on ONE fixed
+    grid); rejecting the knob here beats silently ignoring it."""
     cfg.validate()
+    if cfg.grid_init:
+        raise ValueError(
+            "grid_init/anneal_steps (iCT N-annealing) apply to "
+            "consistency TRAINING only; distillation uses the fixed "
+            f"grid_size={cfg.grid_size} grid — clear grid_init"
+        )
 
     def step(state: TrainState, teacher_params, x0: jax.Array, y=None):
         rng = jax.random.fold_in(state.rng, state.step)
@@ -383,7 +392,15 @@ def make_ct_eval_step(apply_fn: Callable, tables: DiffusionTables,
                       cfg: ConsistencyConfig) -> Callable:
     """Validation loss for ``prediction_type="consistency"``: the same
     CT objective under a given key, for a given param set, mirroring
-    make_eval_step."""
+    make_eval_step.
+
+    Always SELF-targeted (pred and target from the one given param set,
+    stopgrad semantics) regardless of ``cfg.target`` — by design: the
+    eval receives a single param set (params or EMA), and the
+    self-consistency violation is the one metric comparable across
+    target="stopgrad" and target="ema" twins.  Uses the full
+    ``grid_size`` grid (no annealing: validation measures the final
+    objective)."""
     cfg.validate()
 
     def step(params, rng: jax.Array, x0: jax.Array, y=None):

@@ -241,7 +241,8 @@ def test_anneal_tables_levels():
     hi, lo, n_pairs, steps_per = _anneal_tables(cfg)
     assert list(np.asarray(n_pairs)) == [3, 7, 15]  # N = 4, 8, 16
     assert hi.shape == (3, 15) and lo.shape == (3, 15)
-    assert steps_per == 100
+    # K=3 levels = 2 transitions: the FULL grid activates at ~anneal_steps
+    assert steps_per == 150
     # every row: hi > lo everywhere (padding repeats the last real pair)
     assert bool(jnp.all(hi > lo))
     # endpoints of each level's REAL grid
@@ -260,6 +261,18 @@ def test_anneal_tables_levels():
                                     key, 4096, jnp.asarray(0))
     real = set(np.round(np.asarray(hi[0, :3]), 6))
     assert set(np.round(np.asarray(h0), 6)) <= real
+
+    # annealing is a CT mechanism — CD rejects the knob loudly instead
+    # of silently training on the fixed grid
+    from probabilisticdeepdiffusionmodels_tpu.train.consistency import (
+        make_cd_step,
+    )
+    with pytest.raises(ValueError, match="TRAINING only"):
+        make_cd_step(
+            lambda *a, **k: None, lambda *a, **k: None,
+            ConsistencyConfig(grid_init=4, grid_size=8, anneal_steps=10),
+            None,
+        )
 
     with pytest.raises(ValueError, match="grid_init"):
         ConsistencyConfig(grid_init=1, anneal_steps=10).validate()
