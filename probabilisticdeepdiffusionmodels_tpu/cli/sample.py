@@ -158,6 +158,9 @@ def run_sampling(cfg) -> None:
                     if isinstance(gi, str) else gi
                 )
                 gen_kwargs["guidance_interval"] = (int(lo), int(hi))
+            gr = cfg.get("guidance_rescale")
+            if gr is not None:
+                gen_kwargs["guidance_rescale"] = float(gr)
         imgs = engine.generate_images(
             n=n, minibatch=n, seed=0, use_ema=cfg.get("use_ema", True),
             num_sample_steps=cfg.get("num_sample_steps"),

@@ -33,6 +33,7 @@ __all__ = [
     "cosine_alpha_bar",
     "betas_for_alpha_bar",
     "mixed_alpha_bar",
+    "rescale_zero_terminal_snr",
 ]
 
 
@@ -167,6 +168,51 @@ def get_betas(
             raise ValueError("custom mode requires custom_alpha_bar")
         return betas_for_alpha_bar(custom_alpha_bar, diffusion_steps, max_beta)
     raise ValueError(f"Wrong beta mode: {mode}")
+
+
+def rescale_zero_terminal_snr(
+    betas: np.ndarray, alpha_floor: float = 1e-4
+) -> np.ndarray:
+    """Rescale a beta table so the terminal SNR is (numerically) zero.
+
+    Lin et al., "Common Diffusion Noise Schedules and Sampler Design Flaws"
+    (arXiv:2305.08891, Algorithm 1): shift-and-scale sqrt(alpha-bar) so the
+    first entry is preserved and the last hits exactly 0 — the forward
+    process then actually reaches pure noise at t=T, removing the
+    brightness/mean leak of conventional schedules (the reference's linear
+    ramp leaves terminal SNR ~4e-5; SD's, the paper's target, ~4.7e-3).
+
+    One deliberate deviation from the paper: an EXACT zero terminal
+    alpha-bar makes the inverse tables (sqrt(1/ab), sqrt(1/ab - 1)) that
+    every eps-view consumer gathers at t=T infinite — the eps
+    parameterization carries no x0 information at ab=0.  Instead of
+    threading a native-v x0 hook through every sampler, the terminal entry
+    is floored at ``alpha_floor`` times its predecessor
+    (ab_T = alpha_floor * ab_{T-1}; default 1e-4 puts terminal SNR at
+    ~4e-13 for the linear-1000 ramp — eight orders below the value the
+    paper criticizes, and far below what one f32 sample could resolve).
+    The f32 cancellation this leaves in xstart_from_epsilon at the single
+    t=T step is damped by sqrt(ab_{T-1}) ~ 1e-4 in every consumer (DDIM /
+    DPM++ / posterior mean all multiply x0 by sqrt(ab_prev)), so it never
+    reaches the trajectory at more than ~1e-5 amplitude.
+
+    Requires a v- or x0-parameterized model (the eps target at t=T is
+    pure input noise — unlearnable; paper §2.1); engine enforces this.
+    """
+    b = np.asarray(betas, np.float64)
+    if b.ndim != 1 or b.shape[0] < 2:
+        raise ValueError("rescale_zero_terminal_snr needs a 1-D beta table "
+                         "with at least 2 steps")
+    abar = np.cumprod(1.0 - b)
+    s = np.sqrt(abar)
+    s0, sT = s[0], s[-1]
+    s = (s - sT) * (s0 / (s0 - sT))   # Algorithm 1: keep s[0], zero s[-1]
+    abar = s * s
+    abar[-1] = abar[-2] * float(alpha_floor)
+    alphas = abar / np.concatenate([[1.0], abar[:-1]])
+    out = (1.0 - alphas).astype(np.float32)
+    assert np.all(out > 0.0) and np.all(out < 1.0)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)

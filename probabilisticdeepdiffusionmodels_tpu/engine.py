@@ -181,6 +181,7 @@ class DiffusionEngine:
         watch: bool = False,
         class_dropout_prob: float = 0.0,
         prediction_type: str = "epsilon",
+        zero_terminal_snr: bool = False,
         loss_weighting: str = "none",
         snr_gamma: float = 5.0,
         edm_config: Optional[Dict[str, Any]] = None,
@@ -215,6 +216,7 @@ class DiffusionEngine:
             accumulate_grad_batches=accumulate_grad_batches,
             class_dropout_prob=class_dropout_prob,
             prediction_type=prediction_type,
+            zero_terminal_snr=bool(zero_terminal_snr),
             loss_weighting=loss_weighting,
             snr_gamma=snr_gamma,
             edm_config=(None if edm_config is None else dict(edm_config)),
@@ -289,6 +291,30 @@ class DiffusionEngine:
             max_beta=max_beta,
             betas=betas,
         )
+        # zero_terminal_snr (arXiv:2305.08891): rescale the ramp so
+        # alpha-bar_T is numerically zero — x_T is actually pure noise,
+        # fixing the mean/brightness leak of conventional schedules.  The
+        # eps target at t=T is then unlearnable (pure input noise), so the
+        # paper — and this engine — require a v or x0 parameterization.
+        # Pair with num_sample_steps="trailingN" so strided sampling keeps
+        # the t=T step.  Rebuilds deterministically from hparams on
+        # checkpoint restore (the flag round-trips, betas stay None).
+        self.zero_terminal_snr = bool(zero_terminal_snr)
+        if self.zero_terminal_snr:
+            if prediction_type not in ("v", "x0"):
+                raise ValueError(
+                    "zero_terminal_snr requires prediction_type 'v' or "
+                    f"'x0' (got {prediction_type!r}): the eps target at "
+                    "t=T is pure input noise, and the continuous-time "
+                    "modes own their noise parameterization"
+                )
+            from .core.schedules import rescale_zero_terminal_snr
+
+            self.schedule = NoiseSchedule.create(
+                diffusion_steps=diffusion_steps,
+                mode=mode,
+                betas=rescale_zero_terminal_snr(self.schedule.betas),
+            )
         self.tables = DiffusionTables.from_schedule(self.schedule)
 
         # optimizer: Adam with the reference's config surface
@@ -707,7 +733,7 @@ class DiffusionEngine:
         )
 
     def _sample_jit(self, loop_name: str, cfg_scale=None, cfg_interval=None,
-                    **static_kw):
+                    cfg_rescale=None, **static_kw):
         """Cached jit over a sampling loop, keyed by the static flags.
 
         The reference's sampling endpoints re-trace on every call (and the
@@ -722,7 +748,7 @@ class DiffusionEngine:
         leaving every loop unchanged.  ``cfg_interval``: (lo, hi) guidance
         window in original timestep units (arXiv:2404.07724).
         """
-        cache_key = (loop_name, cfg_scale, cfg_interval,
+        cache_key = (loop_name, cfg_scale, cfg_interval, cfg_rescale,
                      tuple(sorted(static_kw.items())))
         fn = self._sample_jits.get(cache_key)
         if fn is None:
@@ -749,9 +775,15 @@ class DiffusionEngine:
                 else self._apply
             )
             if cfg_scale is not None:
+                # guidance_rescale's x0 view needs the FULL-schedule tables
+                # (the wrapper sees original-unit timesteps); they are
+                # host numpy, baked as jit constants — fixed per engine,
+                # so the per-instance jit cache stays correct
                 apply_fn = make_cfg_apply_fn(
                     apply_fn, float(cfg_scale), self.model.num_classes,
                     interval=cfg_interval,
+                    guidance_rescale=float(cfg_rescale or 0.0),
+                    tables=self.tables,
                 )
 
             if loop_name == "inpaint":
@@ -820,6 +852,7 @@ class DiffusionEngine:
         consistency=False,
         shard_mode="batch",
         y=None, guidance_scale=None, guidance_interval=None,
+        guidance_rescale=None,
         encoder_reuse=None, x_T=None,
         reuse_exact_head=None, reuse_exact_tail=None,
         reuse_sigma_boost=None, reuse_prior_noise=None,
@@ -845,6 +878,11 @@ class DiffusionEngine:
         guidance only when lo <= t <= hi (arXiv:2404.07724); other steps
         run one plain conditional forward (saves the doubled-batch cost).
         Not composable with encoder_reuse.
+        ``guidance_rescale``: phi in (0, 1] — CFG-rescale
+        (arXiv:2305.08891 §3.4): std-match the guided prediction's x0
+        view to the conditional branch's per sample, blending with weight
+        phi (paper default 0.7); counters the washed-out look of high
+        guidance scales.  Table-driven samplers only.
         ``encoder_reuse``: override the engine-level encoder-reuse interval
         for this call (k>1 approximate, k=1 exact).
         ``x_T``: optional [n, ...] starting noise; when given, it replaces
@@ -894,6 +932,19 @@ class DiffusionEngine:
         guidance_interval = self._validate_cfg(
             guidance_scale, guidance_interval, y
         )
+        if guidance_rescale is not None:
+            # CFG-rescale (arXiv:2305.08891 §3.4) std-matches the guided
+            # x0 view through the schedule tables — table-driven samplers
+            # only; the native continuous-time loops own their output
+            # parameterization
+            if guidance_scale is None:
+                raise ValueError("guidance_rescale needs guidance_scale")
+            if edm or flow or consistency:
+                raise ValueError(
+                    "guidance_rescale is defined on the table eps-view and "
+                    "does not apply to the native EDM/flow/consistency "
+                    "samplers"
+                )
         if guidance_interval is not None:
             if (encoder_reuse or self.encoder_reuse) > 1:
                 raise ValueError(
@@ -1029,6 +1080,7 @@ class DiffusionEngine:
                     fn = self._sample_jit(
                         "dpmpp", cfg_scale=guidance_scale,
                         cfg_interval=guidance_interval,
+                        cfg_rescale=guidance_rescale,
                         clip=self.clip_while_generating,
                         order=int(dpm_order),
                     )
@@ -1036,6 +1088,7 @@ class DiffusionEngine:
                     fn = self._sample_jit(
                         "heun", cfg_scale=guidance_scale,
                         cfg_interval=guidance_interval,
+                        cfg_rescale=guidance_rescale,
                         clip=self.clip_while_generating,
                         s_churn=float(heun_churn),
                     )
@@ -1056,7 +1109,8 @@ class DiffusionEngine:
                     )
                 fn = self._sample_jit(
                     "ddim", cfg_scale=guidance_scale,
-                    cfg_interval=guidance_interval, eta=ddim_eta,
+                    cfg_interval=guidance_interval,
+                    cfg_rescale=guidance_rescale, eta=ddim_eta,
                     clip=self.clip_while_generating,
                     encoder_reuse=reuse,
                 )
@@ -1080,7 +1134,8 @@ class DiffusionEngine:
                     )
                 fn = self._sample_jit(
                     "p", cfg_scale=guidance_scale,
-                    cfg_interval=guidance_interval, **static,
+                    cfg_interval=guidance_interval,
+                    cfg_rescale=guidance_rescale, **static,
                 )
             x = fn(params, tables, x_t, kloop, y_chunk, tmap)
             images.append(np.asarray(x))

@@ -199,7 +199,8 @@ def make_flow_to_eps_apply_fn(apply_fn, tables: DiffusionTables):
 
 
 def make_cfg_apply_fn(apply_fn, guidance_scale: float, null_class: int,
-                      interval=None):
+                      interval=None, guidance_rescale: float = 0.0,
+                      tables: Optional[DiffusionTables] = None):
     """Classifier-free guidance wrapper (Ho & Salimans, arXiv:2207.12598).
 
     Returns an ``apply_fn`` with the same ``(params, x, t, y, **kw)``
@@ -224,8 +225,37 @@ def make_cfg_apply_fn(apply_fn, guidance_scale: float, null_class: int,
     runs ONE plain conditional forward — a real `lax.cond`, so the
     off-interval steps cost a single-batch forward, not a masked doubled
     one.  Not composable with the encoder cache (the two branches would
-    carry different cache batch sizes)."""
+    carry different cache batch sizes).
+
+    ``guidance_rescale`` = phi in (0, 1] applies the CFG-rescale fix of
+    arXiv:2305.08891 §3.4: high guidance scales inflate the per-sample
+    std of the implied clean image, washing samples out; the guided
+    prediction's x0 view is rescaled to the conditional branch's
+    per-sample std and blended back with weight phi (paper default 0.7).
+    Defined on the eps-view through the x0 relation, so it needs the
+    FULL-schedule ``tables`` (the wrapper sees original-unit timesteps)
+    and only applies to table-driven samplers — the native EDM/flow/
+    consistency loops reject it at the engine."""
     s = float(guidance_scale)
+    phi = float(guidance_rescale or 0.0)
+    if phi:
+        if not 0.0 < phi <= 1.0:
+            raise ValueError(f"guidance_rescale must be in (0, 1], got {phi}")
+        if tables is None:
+            raise ValueError("guidance_rescale needs the full-schedule "
+                             "tables (engine callers pass them)")
+
+    def _rescaled(x, t, eps_cfg, eps_cond):
+        """Std-match the guided x0 view to the conditional branch's."""
+        x32 = x.astype(eps_cfg.dtype)
+        x0_cfg = D.xstart_from_epsilon(tables, x32, t, eps_cfg)
+        x0_cond = D.xstart_from_epsilon(tables, x32, t, eps_cond)
+        axes = tuple(range(1, x.ndim))
+        std_cfg = jnp.std(x0_cfg, axis=axes, keepdims=True)
+        std_cond = jnp.std(x0_cond, axis=axes, keepdims=True)
+        x0_fix = x0_cfg * (std_cond / (std_cfg + 1e-8))
+        x0_out = phi * x0_fix + (1.0 - phi) * x0_cfg
+        return D.eps_from_xstart(tables, x32, t, x0_out)
 
     def guided(params, x, t, y, **kwargs):
         b = x.shape[0]
@@ -240,9 +270,14 @@ def make_cfg_apply_fn(apply_fn, guidance_scale: float, null_class: int,
         if out.shape[-1] == 2 * c:
             eps2, v2 = jnp.split(out, 2, axis=-1)
             eps = eps2[b:] + s * (eps2[:b] - eps2[b:])
+            if phi:
+                eps = _rescaled(x, t, eps, eps2[:b])
             out = jnp.concatenate([eps, v2[:b]], axis=-1)
         else:
-            out = out[b:] + s * (out[:b] - out[b:])
+            eps = out[b:] + s * (out[:b] - out[b:])
+            if phi:
+                eps = _rescaled(x, t, eps, out[:b])
+            out = eps
         if kwargs.get("return_cache"):
             return out, cache
         return out
@@ -539,7 +574,12 @@ def space_timesteps(diffusion_steps: int, section_counts,
     """Choose which original timesteps to keep for strided sampling.
 
     ``section_counts``: int N (evenly spaced N steps), "ddimN" for the DDIM
-    stride-T/N spacing, "karrasN" for Karras rho=7 sigma spacing
+    stride-T/N spacing, "trailingN" for the trailing spacing of
+    arXiv:2305.08891 Table 2 (steps round(T - i*T/N), i=0..N-1 — always
+    includes t=T, so strided sampling starts from the schedule's actual
+    terminal noise level; the paper's pairing with zero_terminal_snr,
+    where skipping t=T would skip the only all-noise step),
+    "karrasN" for Karras rho=7 sigma spacing
     (arXiv:2206.00364 eq. 5 — steps concentrated at low noise, the usual
     pairing with DPM-Solver++; needs ``alphas_hat`` to place the grid on
     this schedule's sigmas), or an IDDPM section-count list — "15,15,20" or
@@ -554,6 +594,17 @@ def space_timesteps(diffusion_steps: int, section_counts,
             n = int(section_counts[len("ddim"):])
             stride = diffusion_steps // n
             return list(range(1, diffusion_steps + 1, stride))[:n]
+        if section_counts.startswith("trailing"):
+            n = int(section_counts[len("trailing"):])
+            if not 1 <= n <= diffusion_steps:
+                raise ValueError(
+                    f"trailingN needs 1 <= N <= T, got N={n}, "
+                    f"T={diffusion_steps}"
+                )
+            step = diffusion_steps / n
+            kept = {int(round(diffusion_steps - i * step))
+                    for i in range(n)}
+            return sorted(k for k in kept if k >= 1)
         if section_counts.startswith("karras"):
             if alphas_hat is None:
                 raise ValueError(
@@ -643,7 +694,12 @@ def respaced_schedule(
     new_betas = []
     for t in kept:
         a = abar[t - 1]
-        new_betas.append(1.0 - a / last)
+        # a zero_terminal_snr table can put the kept-step alpha-bar ratio
+        # below f32 epsilon; 1 - ratio would round to exactly 1.0 and the
+        # rebuilt table's alpha-bar to 0 (inf inverse buffers).  Cap beta
+        # one f32 ulp under 1 — the implied terminal alpha-bar stays
+        # numerically zero (abar_prev * 6e-8) with every buffer finite.
+        new_betas.append(min(1.0 - a / last, 1.0 - 6e-8))
         last = a
     new = NoiseSchedule.create(
         diffusion_steps=len(kept),
