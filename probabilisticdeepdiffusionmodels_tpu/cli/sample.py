@@ -92,6 +92,13 @@ def run_detailed_viz(engine, cfg, media_dir: Path, normalize, n_images=4):
 
 def run_sampling(cfg) -> None:
     assert cfg.get("run_dir"), "pass run_dir=<path to a training run>"
+    # Surface CFG knob misconfiguration up front: guidance_rescale without
+    # guidance_scale would otherwise never reach the engine's own
+    # validation (the fast-sampler branch below only fires on
+    # guidance_scale) and be silently ignored (ADVICE r4).
+    if (cfg.get("guidance_rescale") is not None
+            and cfg.get("guidance_scale") is None):
+        raise ValueError("guidance_rescale needs guidance_scale")
     engine, run_cfg = load_engine_from_run(
         cfg["run_dir"], cfg.get("clip_while_generating"),
         devices=cfg.get("devices"),
@@ -143,6 +150,7 @@ def run_sampling(cfg) -> None:
         n = int(cfg.get("n_random", 4))
         gen_kwargs = {}
         gs = cfg.get("guidance_scale")
+        gr = cfg.get("guidance_rescale")
         if gs is not None:
             # classifier-free guidance grid: one sample per class, cycling
             nc = int(getattr(engine.model, "num_classes", 0) or 0)
@@ -158,7 +166,6 @@ def run_sampling(cfg) -> None:
                     if isinstance(gi, str) else gi
                 )
                 gen_kwargs["guidance_interval"] = (int(lo), int(hi))
-            gr = cfg.get("guidance_rescale")
             if gr is not None:
                 gen_kwargs["guidance_rescale"] = float(gr)
         imgs = engine.generate_images(

@@ -211,7 +211,11 @@ def rescale_zero_terminal_snr(
     abar[-1] = abar[-2] * float(alpha_floor)
     alphas = abar / np.concatenate([[1.0], abar[:-1]])
     out = (1.0 - alphas).astype(np.float32)
-    assert np.all(out > 0.0) and np.all(out < 1.0)
+    if not (np.all(out > 0.0) and np.all(out < 1.0)):
+        raise ValueError(
+            "rescale_zero_terminal_snr produced betas outside (0, 1) — "
+            "the input table is too short or too aggressive for Algorithm 1"
+        )
     return out
 
 

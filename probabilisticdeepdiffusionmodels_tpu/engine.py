@@ -715,8 +715,10 @@ class DiffusionEngine:
         """Tables + timestep map for full or strided sampling.
 
         ``num_sample_steps`` accepts an int, "ddimN", "karrasN" (Karras
-        rho=7 sigma spacing, arXiv:2206.00364), or an IDDPM section-count
-        list ("15,15,20" / [15,15,20]) — see sample.space_timesteps.
+        rho=7 sigma spacing, arXiv:2206.00364), "trailingN" (trailing
+        spacing, arXiv:2305.08891 — the documented pairing for
+        zero_terminal_snr schedules), or an IDDPM section-count list
+        ("15,15,20" / [15,15,20]) — see sample.space_timesteps.
         """
         if num_sample_steps is None or (
             isinstance(num_sample_steps, int)
