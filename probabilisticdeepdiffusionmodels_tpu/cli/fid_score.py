@@ -72,6 +72,10 @@ def main(argv=None):
     extras = with_pr or with_kid or with_is
     fid = m["fid"] if extras else m
     print(f"FID: {fid} (run={run_dir} clip={clip} n={n_samples})")
+    if extras:
+        # provenance stamp: "ported:<md5>" means pytorch-fid comparable,
+        # "random" means pipeline-only (VERDICT r4 weak #4)
+        print(f"inception_weights: {m['inception_weights']}")
     if with_pr:
         print(
             f"precision: {m['precision']:.4f}  recall: {m['recall']:.4f} "

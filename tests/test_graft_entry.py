@@ -27,8 +27,14 @@ REPO = Path(__file__).resolve().parents[1]
 # gate).  A loose wall-clock ceiling stays as a backstop so a regression
 # that adds pure *waiting* (wedged probe, lock, sleep/retry) still fails
 # here instead of at the driver timeout.
-DEFAULT_CEILING_CPU_S = 120.0
-DEFAULT_CEILING_WALL_S = 420.0
+# r5: the default gate gained the fsdp + tp train-step jits (VERDICT r4
+# next #3) — two extra SPMD compiles with an irreducible ~45 CPU-s floor on
+# this host (measured with both 16ch-reuse and lean-1-level variants, all
+# 145-160 CPU-s total).  Ceiling raised accordingly; the r4 driver run took
+# ~90 s wall against a budget that did not bind, and the arms are ordered
+# so a driver kill still leaves every earlier arm's stage line in the tail.
+DEFAULT_CEILING_CPU_S = 185.0
+DEFAULT_CEILING_WALL_S = 480.0
 
 
 def _run_gate(extra_env=None, timeout=600):
@@ -58,6 +64,9 @@ def test_dryrun_default_under_budget_with_stage_lines():
     # >= 6 stage lines + the final OK line (VERDICT r3 next #1 done-bar)
     assert len(lines) >= 7, proc.stdout
     assert "[dryrun_multichip] OK" in proc.stdout
+    # VERDICT r4 next #3: fsdp + tp train-step jits are DEFAULT-gate arms
+    assert "fsdp train step jit OK" in proc.stdout
+    assert "tp train step jit OK" in proc.stdout
     assert cpu_s < DEFAULT_CEILING_CPU_S, (
         f"default gate took {cpu_s:.1f} CPU-s (ceiling "
         f"{DEFAULT_CEILING_CPU_S}) — trim arms or gate new jits behind "
@@ -74,6 +83,4 @@ def test_dryrun_full_arms():
     proc, _, _ = _run_gate({"PDDM_DRYRUN_FULL": "1"})
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "inpaint + ddim_invert OK" in proc.stdout
-    assert "fsdp engine train step OK" in proc.stdout
-    assert "tp engine train step OK" in proc.stdout
     assert "[dryrun_multichip] OK" in proc.stdout
