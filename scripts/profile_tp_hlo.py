@@ -30,25 +30,24 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-COLLECTIVE_RE = re.compile(
-    r"\b(all-reduce|all-gather|reduce-scatter|collective-permute|all-to-all)"
-    r"(?:-start)?\b"
-)
-
-
 def count_collectives(compiled) -> dict:
-    """op -> count over the optimized (post-SPMD-partitioning) HLO."""
+    """op -> count over the optimized (post-SPMD-partitioning) HLO.
+
+    Counts instruction DEFINITIONS by their left-hand-side name
+    (``%all-reduce.133 = (f32[...], ...) all-reduce(...)``): matching the
+    op token after ``=`` breaks on variadic collectives, whose tuple type
+    annotation contains spaces — the dp grad reduction is exactly one such
+    variadic all-reduce over the whole gradient tree."""
     hlo = compiled.as_text()
     counts = collections.Counter()
+    defn = re.compile(
+        r"^\s*(?:ROOT\s+)?%(all-reduce|all-gather|reduce-scatter"
+        r"|collective-permute|all-to-all)(?:-start)?[.\d]*\s*="
+    )
     for line in hlo.splitlines():
-        # count instruction definitions, not operand references
-        m = re.search(r"=\s*\S+\s+(\S+)\(", line)
-        if not m:
-            continue
-        op = m.group(1)
-        cm = COLLECTIVE_RE.match(op)
-        if cm:
-            counts[cm.group(1)] += 1
+        m = defn.match(line)
+        if m:
+            counts[m.group(1)] += 1
     return dict(counts)
 
 

@@ -135,7 +135,7 @@ step celebahq64    runs/celebahq64_synthetic/final_test.json ""
 s_celebahq64() {
   train_run celebahq64_synthetic 21600 \
     model=unet_celebahq64 data=synthetic data.channels=3 data.n=1024 \
-    data.resolution=64 data.batch_size=32 data.num_samples_per_epoch=1024 \
+    data.batch_size=32 data.num_samples_per_epoch=1024 \
     engine=celebahq64 engine.ema=0.995 \
     trainer.max_epochs=120 trainer.check_val_every_n_epoch=10 \
     trainer.limit_test_batches=4 visualization=none out_dir=runs
