@@ -191,6 +191,7 @@ def run_training(cfg) -> dict:
         vis_run_every=max(1, int(vis_cfg.get("run_every", 5) or 1)),
         save_every_steps=trainer_cfg.get("save_every_steps"),
         watch_every_steps=trainer_cfg.get("watch_every_steps"),
+        prefetch=int(trainer_cfg.get("prefetch", 2)),
     )
     result = trainer.fit(train_loader, val_loader)
 
