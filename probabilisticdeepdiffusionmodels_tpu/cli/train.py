@@ -38,6 +38,11 @@ def build_loaders(cfg, shard_id: int = 0, num_shards: int = 1):
     data_cfg = dict(cfg["data"])
     name = data_cfg.pop("name")
     data_cfg.pop("num_workers", None)
+    # data.device_resident=true: keep the training set in HBM and ship
+    # only indices/flip/crop decisions per batch (data/device_loader.py —
+    # removes the per-epoch pixel H2D, the measured loop bottleneck on
+    # the remote-TPU tunnel; docs/KERNELS.md training section)
+    device_resident = bool(data_cfg.pop("device_resident", False))
     resolution = cfg["engine"].get("resolution")
     extra = {
         k: data_cfg.pop(k)
@@ -48,11 +53,14 @@ def build_loaders(cfg, shard_id: int = 0, num_shards: int = 1):
     train_ds = get_dataset(name, train=True, resolution=resolution, **extra)
     val_ds = get_dataset(name, train=False, resolution=resolution, **extra)
     seed = int(cfg.get("seed", 0) or 0)
-    train_loader = DataLoader(
+    loader_cls = DataLoader
+    if device_resident:
+        from ..data import DeviceDataLoader as loader_cls  # noqa: F811
+    train_loader = loader_cls(
         train_ds, train=True, seed=seed,
         shard_id=shard_id, num_shards=num_shards, **data_cfg,
     )
-    val_loader = DataLoader(
+    val_loader = loader_cls(
         val_ds, train=False, seed=seed + 1,
         shard_id=shard_id, num_shards=num_shards, **data_cfg,
     )
@@ -192,6 +200,7 @@ def run_training(cfg) -> dict:
         save_every_steps=trainer_cfg.get("save_every_steps"),
         watch_every_steps=trainer_cfg.get("watch_every_steps"),
         prefetch=int(trainer_cfg.get("prefetch", 2)),
+        fused_steps=int(trainer_cfg.get("fused_steps", 0)),
     )
     result = trainer.fit(train_loader, val_loader)
 

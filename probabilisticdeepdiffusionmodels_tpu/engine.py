@@ -495,8 +495,7 @@ class DiffusionEngine:
         self.snr_gamma = float(snr_gamma)
         dropout = float(dict(model_config).get("dropout", 0) or 0) > 0
         if prediction_type == "edm":
-            self._train_step = jax.jit(
-                make_edm_train_step(
+            self._train_step_raw = make_edm_train_step(
                     self._apply_raw,
                     self.tables,
                     self.edm,
@@ -508,15 +507,12 @@ class DiffusionEngine:
                         if self.class_dropout_prob
                         else None
                     ),
-                ),
-                donate_argnums=(0,),
-            )
+                )
             self._eval_step = jax.jit(
                 make_edm_eval_step(self._apply_raw, self.edm)
             )
         elif prediction_type == "flow":
-            self._train_step = jax.jit(
-                make_flow_train_step(
+            self._train_step_raw = make_flow_train_step(
                     self._apply_raw,
                     self.tables,
                     self.flow,
@@ -528,15 +524,12 @@ class DiffusionEngine:
                         if self.class_dropout_prob
                         else None
                     ),
-                ),
-                donate_argnums=(0,),
-            )
+                )
             self._eval_step = jax.jit(
                 make_flow_eval_step(self._apply_raw, self.flow)
             )
         elif prediction_type == "consistency":
-            self._train_step = jax.jit(
-                make_ct_train_step(
+            self._train_step_raw = make_ct_train_step(
                     self._apply_raw,
                     self.tables,
                     self.cm,
@@ -548,15 +541,12 @@ class DiffusionEngine:
                         if self.class_dropout_prob
                         else None
                     ),
-                ),
-                donate_argnums=(0,),
-            )
+                )
             self._eval_step = jax.jit(
                 make_ct_eval_step(self._apply_raw, self.tables, self.cm)
             )
         else:
-            self._train_step = jax.jit(
-                make_train_step(
+            self._train_step_raw = make_train_step(
                     self._apply_raw,
                     self.tables,
                     sampling=sampling,
@@ -572,9 +562,7 @@ class DiffusionEngine:
                     prediction_type=prediction_type,
                     loss_weighting=loss_weighting,
                     snr_gamma=self.snr_gamma,
-                ),
-                donate_argnums=(0,),
-            )
+                )
             self._eval_step = jax.jit(
                 make_eval_step(
                     self._apply_raw, self.tables,
@@ -582,6 +570,12 @@ class DiffusionEngine:
                     loss_weighting=loss_weighting, snr_gamma=self.snr_gamma,
                 )
             )
+        # ONE jit point for the per-step path (donated state buffers); the
+        # unjitted raw step also feeds the fused multi-step scan
+        # (training_steps), where an inner jit would just be inlined and
+        # its donation ignored with a warning.
+        self._train_step = jax.jit(self._train_step_raw, donate_argnums=(0,))
+        self._fused_step_jit = None
         self._nll = jax.jit(
             functools.partial(
                 calculate_likelihood, self._apply, sigma_mode=self.sigma_mode
@@ -650,6 +644,47 @@ class DiffusionEngine:
             if y is not None:
                 y = shard_batch(self.mesh, y)
         self.state, metrics = self._train_step(self.state, x, y)
+        return metrics
+
+    def training_steps(self, xs, ys=None):
+        """K fused train steps in ONE dispatch (train.make_fused_train_step:
+        a lax.scan of the raw step over the stacked ``[K, B, ...]`` batches).
+
+        Mathematically identical to K ``training_step`` calls — the
+        per-step RNG folds ``state.step``, which increments inside the
+        scan exactly as it does between dispatches — but the host pays one
+        dispatch + one transfer per chunk.  (Not bitwise: XLA fuses the
+        scan body differently than the solo step, ~1e-6 reassociation
+        drift — tested tight-allclose in tests/test_train_loop.py.)  Metrics come back stacked: every value has a leading
+        ``K`` axis (one row per step).  Used by the Trainer's
+        ``fused_steps`` mode; see docs/KERNELS.md (training section) for
+        why the per-dispatch tunnel latency made this worth owning.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .train.step import make_fused_train_step
+
+        # keep device-resident stacks on device (DeviceDataLoader path);
+        # only host data goes through numpy
+        xs = xs if isinstance(xs, jax.Array) else np.asarray(xs)
+        ys = self._cond(ys)
+        if self.mesh is not None:
+            self._check_mesh_batch(xs.shape[1], "adjust data.batch_size")
+            # batch dim is axis 1 of the stack: shard it, replicate K
+            xs = jax.device_put(xs, NamedSharding(
+                self.mesh, P(None, DATA_AXIS, *([None] * (xs.ndim - 2)))))
+            if ys is not None:
+                # class labels are [K, B]; SuperRes conditioning is
+                # [K, B, H, W, C] — shard the batch dim either way
+                ys = jax.device_put(ys, NamedSharding(
+                    self.mesh,
+                    P(None, DATA_AXIS, *([None] * (ys.ndim - 2)))))
+        if self._fused_step_jit is None:
+            self._fused_step_jit = jax.jit(
+                make_fused_train_step(self._train_step_raw),
+                donate_argnums=(0,),
+            )
+        self.state, metrics = self._fused_step_jit(self.state, xs, ys)
         return metrics
 
     def validation_step(

@@ -20,6 +20,7 @@ import time
 from typing import Callable, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..engine import DiffusionEngine
@@ -49,13 +50,16 @@ def prefetch_to_device(loader, engine, size: int = 2):
 
     def put(xy):
         x, y = xy
+        # device-resident loaders (data/device_loader.py) already yield
+        # jax Arrays — never round-trip those through numpy
+        def h(v):
+            return v if isinstance(v, jax.Array) else np.asarray(v)
         if engine.mesh is not None:
-            x = shard_batch(engine.mesh, np.asarray(x))
-            y = (None if y is None
-                 else shard_batch(engine.mesh, np.asarray(y)))
+            x = shard_batch(engine.mesh, h(x))
+            y = None if y is None else shard_batch(engine.mesh, h(y))
         else:
-            x = jax.device_put(np.asarray(x))
-            y = None if y is None else jax.device_put(np.asarray(y))
+            x = jax.device_put(h(x))
+            y = None if y is None else jax.device_put(h(y))
         return x, y
 
     buf = collections.deque()
@@ -83,6 +87,7 @@ class Trainer:
         save_every_steps: Optional[int] = None,
         watch_every_steps: Optional[int] = None,
         prefetch: int = 2,
+        fused_steps: int = 0,
     ):
         self.engine = engine
         self.run_dir = run_dir
@@ -96,6 +101,10 @@ class Trainer:
         self.log_every_steps = log_every_steps
         # host->device input overlap (prefetch_to_device); 0/None disables
         self.prefetch = int(prefetch or 0)
+        # K>=2: run K train steps per dispatch (engine.training_steps
+        # lax.scan fusion — removes the per-dispatch tunnel latency floor);
+        # per-step logging then samples the LAST step of each chunk
+        self.fused_steps = int(fused_steps or 0)
         # crash resilience beyond the val-cadence best-checkpointing
         # (the reference relies on Lightning's val-time ModelCheckpoint only,
         # scripts/train.py:79-87)
@@ -113,36 +122,44 @@ class Trainer:
         for epoch in range(self.max_epochs):
             t0 = time.time()
             n_batches = 0
-            batches = (
-                prefetch_to_device(train_loader, self.engine, self.prefetch)
-                if self.prefetch >= 2 else train_loader
-            )
-            for x, y in batches:
-                # labels reach the engine; it drops them for unconditional
-                # models (reference training_step is unconditional,
-                # src/engine.py:279-285) and routes them for class-cond /
-                # SuperRes models (VERDICT r1 weak #5)
-                metrics = self.engine.training_step(x, y)
-                step += 1
-                n_batches += 1
-                if step % self.log_every_steps == 0:
-                    row = {
-                        "loss": metrics["loss"],
-                        "total_grad_norm_L2": metrics["grad_norm"],
-                        "epoch": epoch,
-                    }
-                    for k, v in metrics.get(
-                        "grad_norm_per_module", {}
-                    ).items():
-                        row[f"grad_norm/{k}"] = float(v)
-                    self.logger.log(row, step=step)
-                if (
-                    self.watch_every_steps
-                    and step % self.watch_every_steps == 0
-                ):
-                    self._dump_weight_histograms(step)
-                if self.save_every_steps and step % self.save_every_steps == 0:
-                    self.ckpt.save(self.engine.state, step)
+            if self.fused_steps >= 2:
+                step, n_batches = self._run_fused_epoch(
+                    train_loader, epoch, step, n_batches
+                )
+            else:
+                batches = (
+                    prefetch_to_device(
+                        train_loader, self.engine, self.prefetch
+                    )
+                    if self.prefetch >= 2 else train_loader
+                )
+                for x, y in batches:
+                    # labels reach the engine; it drops them for
+                    # unconditional models (reference training_step is
+                    # unconditional, src/engine.py:279-285) and routes them
+                    # for class-cond / SuperRes models (VERDICT r1 weak #5)
+                    metrics = self.engine.training_step(x, y)
+                    step += 1
+                    n_batches += 1
+                    if step % self.log_every_steps == 0:
+                        row = {
+                            "loss": metrics["loss"],
+                            "total_grad_norm_L2": metrics["grad_norm"],
+                            "epoch": epoch,
+                        }
+                        for k, v in metrics.get(
+                            "grad_norm_per_module", {}
+                        ).items():
+                            row[f"grad_norm/{k}"] = float(v)
+                        self.logger.log(row, step=step)
+                    if (
+                        self.watch_every_steps
+                        and step % self.watch_every_steps == 0
+                    ):
+                        self._dump_weight_histograms(step)
+                    if (self.save_every_steps
+                            and step % self.save_every_steps == 0):
+                        self.ckpt.save(self.engine.state, step)
 
             self._log_epoch_loss_stats(epoch, step)
             dt = time.time() - t0
@@ -180,6 +197,67 @@ class Trainer:
             self.run_dir.checkpoint_dir(), f"{self.run_dir.name}-checkpoints"
         )
         return {"best_val_loss": best_val, "steps": step}
+
+    def _run_fused_epoch(self, train_loader, epoch, step, n_batches):
+        """One epoch through engine.training_steps: K host batches are
+        stacked and dispatched as ONE fused lax.scan chunk.  Logging,
+        weight histograms and step-cadence checkpoints fire at chunk
+        boundaries (the stacked metrics' last row stands in for the
+        per-step row).  A ragged trailing batch (different shape) runs
+        through the plain per-step path."""
+        buf = []
+
+        def flush(step, n_batches):
+            if not buf:
+                return step, n_batches
+            stack = (jnp.stack if isinstance(buf[0][0], jax.Array)
+                     else np.stack)
+            xs = stack([b[0] for b in buf])
+            ys = (None if buf[0][1] is None
+                  else np.stack([np.asarray(b[1]) for b in buf]))
+            buf.clear()
+            k = xs.shape[0]
+            metrics = self.engine.training_steps(xs, ys)
+            prev = step
+            step += k
+            n_batches += k
+            if step // self.log_every_steps != prev // self.log_every_steps:
+                row = {
+                    "loss": np.asarray(metrics["loss"])[-1],
+                    "total_grad_norm_L2": np.asarray(metrics["grad_norm"])[-1],
+                    "epoch": epoch,
+                }
+                for kk, v in metrics.get("grad_norm_per_module", {}).items():
+                    row[f"grad_norm/{kk}"] = float(np.asarray(v)[-1])
+                self.logger.log(row, step=step)
+            if (self.watch_every_steps
+                    and step // self.watch_every_steps
+                    != prev // self.watch_every_steps):
+                self._dump_weight_histograms(step)
+            if (self.save_every_steps
+                    and step // self.save_every_steps
+                    != prev // self.save_every_steps):
+                self.ckpt.save(self.engine.state, step)
+            return step, n_batches
+
+        shape = None
+        for x, y in train_loader:
+            if not isinstance(x, jax.Array):
+                x = np.asarray(x)
+            if shape is not None and x.shape != shape:
+                step, n_batches = flush(step, n_batches)
+                # ragged trailing batch: plain per-step path
+                m = self.engine.training_step(x, y)
+                del m
+                step += 1
+                n_batches += 1
+                continue
+            shape = x.shape
+            buf.append((x, y))
+            if len(buf) == self.fused_steps:
+                step, n_batches = flush(step, n_batches)
+        step, n_batches = flush(step, n_batches)
+        return step, n_batches
 
     def _validate(self, val_loader, step) -> Dict[str, float]:
         losses, losses_no_ema = [], []

@@ -36,6 +36,7 @@ from .state import TrainState
 
 __all__ = [
     "make_train_step",
+    "make_fused_train_step",
     "make_eval_step",
     "make_edm_train_step",
     "make_edm_eval_step",
@@ -43,6 +44,39 @@ __all__ = [
     "make_flow_eval_step",
     "global_norm",
 ]
+
+
+def make_fused_train_step(step):
+    """Fuse K train steps into ONE program: a ``lax.scan`` of ``step`` over
+    stacked ``[K, B, ...]`` batches.
+
+    Identical math and RNG stream to K sequential ``step`` calls — each
+    iteration folds ``state.rng`` with ``state.step``, which increments
+    inside the scan exactly as it does between dispatches — but the host
+    issues ONE dispatch and ONE transfer per chunk instead of K.  (Not
+    bitwise vs the solo-jitted step: XLA fuses the scan body differently,
+    reassociating float ops at the ~1e-6 level.)  On a
+    remote-TPU tunnel (per-dispatch latency ~10s of ms) this removes the
+    host-side floor that kept the 16-step synthetic epochs at ~1.5 s wall
+    regardless of compute dtype (docs/KERNELS.md training section); on
+    local hardware it still collapses K dispatch overheads.
+
+    ``step`` must be the UNJITTED step builder output (jit the fused fn
+    instead); metrics come back stacked along axis 0, one row per step.
+    """
+
+    def fused(state, xs, ys=None):
+        if ys is None:
+            def body(st, x):
+                return step(st, x, None)
+            return jax.lax.scan(body, state, xs)
+
+        def body(st, xy):
+            return step(st, xy[0], xy[1])
+
+        return jax.lax.scan(body, state, (xs, ys))
+
+    return fused
 
 
 def global_norm(tree) -> jax.Array:
