@@ -259,9 +259,14 @@ def main():
             k: round(v, 4) for k, v in pr_floor.items()
         },
     }
+    # minibatch caps device memory per sampling call: one 128-batch chain
+    # at 32^2 is fine, but at 64^2 with the celebahq64 UNet the activation
+    # working set crashed the remote TPU worker twice ("kernel fault") —
+    # chunk to <= 64 images per call above 32^2
+    mb = min(n, 64) if int(cfg["engine"]["resolution"]) > 32 else n
     for name, kw in configs:
         s = np.asarray(
-            engine.generate_images(n=n, minibatch=n, seed=123, **kw)
+            engine.generate_images(n=n, minibatch=mb, seed=123, **kw)
         )
         assert np.isfinite(s).all(), f"non-finite at {name}"
         f_s = features(s)
