@@ -96,6 +96,16 @@ class DeviceDataLoader:
                 "DeviceDataLoader needs an in-memory ArrayDataset "
                 "(file-backed datasets stream through the host DataLoader)")
         tk = dict(transformation_kwargs or {})
+        # fail loudly on typo'd transform keys, exactly like the host
+        # Transform.__init__ would (the silent-config-drop class is a
+        # documented past failure — see CLAUDE.md data.normalize GOTCHA)
+        known = {"flip", "crop", "crop_size", "crop_padding",
+                 "normalize", "eval_random_crop"}
+        unknown = set(tk) - known
+        if unknown:
+            raise TypeError(
+                f"DeviceDataLoader got unsupported transformation_kwargs "
+                f"{sorted(unknown)}")
         self.batch_size = batch_size
         self.train = train
         self.num_samples_per_epoch = num_samples_per_epoch

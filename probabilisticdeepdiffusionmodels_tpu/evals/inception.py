@@ -390,8 +390,11 @@ def load_params(
 
         import torch
 
+        h = hashlib.md5()
         with open(path, "rb") as f:
-            md5 = hashlib.md5(f.read()).hexdigest()
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        md5 = h.hexdigest()
         sd = torch.load(path, map_location="cpu", weights_only=False)
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()

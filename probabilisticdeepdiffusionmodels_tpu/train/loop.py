@@ -142,16 +142,7 @@ class Trainer:
                     step += 1
                     n_batches += 1
                     if step % self.log_every_steps == 0:
-                        row = {
-                            "loss": metrics["loss"],
-                            "total_grad_norm_L2": metrics["grad_norm"],
-                            "epoch": epoch,
-                        }
-                        for k, v in metrics.get(
-                            "grad_norm_per_module", {}
-                        ).items():
-                            row[f"grad_norm/{k}"] = float(v)
-                        self.logger.log(row, step=step)
+                        self._log_train_row(metrics, step, epoch)
                     if (
                         self.watch_every_steps
                         and step % self.watch_every_steps == 0
@@ -198,6 +189,38 @@ class Trainer:
         )
         return {"best_val_loss": best_val, "steps": step}
 
+    def _log_train_row(self, metrics, step, epoch, last_of_chunk=False):
+        """One metrics row for the JSONL log — shared by the per-step loop
+        and the fused path (which passes ``last_of_chunk=True`` to sample
+        the final row of the stacked [K]-metrics)."""
+        def scalar(v):
+            a = np.asarray(v)
+            return float(a[-1]) if last_of_chunk and a.ndim else a
+        row = {
+            "loss": scalar(metrics["loss"]),
+            "total_grad_norm_L2": scalar(metrics["grad_norm"]),
+            "epoch": epoch,
+        }
+        for k, v in metrics.get("grad_norm_per_module", {}).items():
+            row[f"grad_norm/{k}"] = float(scalar(v))
+        self.logger.log(row, step=step)
+
+    def _step_cadence(self, prev, step, metrics, epoch, fused):
+        """Boundary-crossing log/histogram/checkpoint actions for a step
+        advance prev -> step (fused chunks and the ragged per-step fallback
+        both cross boundaries mid-advance, so every cadence uses
+        //-crossing, not modulo)."""
+        if step // self.log_every_steps != prev // self.log_every_steps:
+            self._log_train_row(metrics, step, epoch, last_of_chunk=fused)
+        if (self.watch_every_steps
+                and step // self.watch_every_steps
+                != prev // self.watch_every_steps):
+            self._dump_weight_histograms(step)
+        if (self.save_every_steps
+                and step // self.save_every_steps
+                != prev // self.save_every_steps):
+            self.ckpt.save(self.engine.state, step)
+
     def _run_fused_epoch(self, train_loader, epoch, step, n_batches):
         """One epoch through engine.training_steps: K host batches are
         stacked and dispatched as ONE fused lax.scan chunk.  Logging,
@@ -221,23 +244,7 @@ class Trainer:
             prev = step
             step += k
             n_batches += k
-            if step // self.log_every_steps != prev // self.log_every_steps:
-                row = {
-                    "loss": np.asarray(metrics["loss"])[-1],
-                    "total_grad_norm_L2": np.asarray(metrics["grad_norm"])[-1],
-                    "epoch": epoch,
-                }
-                for kk, v in metrics.get("grad_norm_per_module", {}).items():
-                    row[f"grad_norm/{kk}"] = float(np.asarray(v)[-1])
-                self.logger.log(row, step=step)
-            if (self.watch_every_steps
-                    and step // self.watch_every_steps
-                    != prev // self.watch_every_steps):
-                self._dump_weight_histograms(step)
-            if (self.save_every_steps
-                    and step // self.save_every_steps
-                    != prev // self.save_every_steps):
-                self.ckpt.save(self.engine.state, step)
+            self._step_cadence(prev, step, metrics, epoch, fused=True)
             return step, n_batches
 
         shape = None
@@ -246,11 +253,15 @@ class Trainer:
                 x = np.asarray(x)
             if shape is not None and x.shape != shape:
                 step, n_batches = flush(step, n_batches)
-                # ragged trailing batch: plain per-step path
+                # odd-shaped batch: plain per-step path, with the SAME
+                # cadence actions a fused chunk would fire, and shape
+                # re-learned so fusion resumes on the next uniform run
                 m = self.engine.training_step(x, y)
-                del m
+                prev = step
                 step += 1
                 n_batches += 1
+                self._step_cadence(prev, step, m, epoch, fused=False)
+                shape = None
                 continue
             shape = x.shape
             buf.append((x, y))

@@ -28,6 +28,12 @@ def main(json_path=None):
 
     results = {}
     detail = {}
+    # train step ~= 3x forward FLOPs (bwd ~= 2x fwd for conv nets)
+    fwd = unet_flops(
+        resolution=32, in_channels=3, model_channels=128,
+        num_res_blocks=3, attention_resolutions=[16, 8],
+        channel_mult=[1, 2, 2, 2], num_heads=4,
+    )
     for batch in (128, 256, 512):
         eng = DiffusionEngine(
             model_config=dict(
@@ -70,12 +76,6 @@ def main(json_path=None):
             dt = (time.perf_counter() - t0) / n_rep
             best = dt if best is None else min(best, dt)
         results[batch] = round(batch / best, 1)
-        # train step ~= 3x forward FLOPs (bwd ~= 2x fwd for conv nets)
-        fwd = unet_flops(
-            resolution=32, in_channels=3, model_channels=128,
-            num_res_blocks=3, attention_resolutions=[16, 8],
-            channel_mult=[1, 2, 2, 2], num_heads=4,
-        )
         mfu = 3.0 * fwd * results[batch] / 197e12
         detail[str(batch)] = {
             "img_per_sec": results[batch],

@@ -188,7 +188,7 @@ s_inpaint() {
 }
 
 # --- few-step families: progressive distillation / reflow / consistency --
-step distill       runs/flagship_linear_T1000_distillT125/checkpoints runs/flagship_linear_T1000/final_test.json
+step distill       runs/flagship_linear_T1000_distillT125/checkpoints runs/flagship_linear_T1000/final_test.json $RES/distill_T125.json
 s_distill() {
   timeout 10800 python -m probabilisticdeepdiffusionmodels_tpu.cli.distill \
     run_dir=runs/flagship_linear_T1000 rounds=3 epochs=12 lr=1e-4 \
@@ -199,7 +199,7 @@ s_distill_eval() {
   timeout 3600 python scripts/eval_distill.py runs/flagship_linear_T1000 \
     runs/flagship_linear_T1000_distillT125 128 2>&1 | grep -v WARNING | tail -10
 }
-step reflow        runs/synstudy_linear_T1000_flow_reflow/final_test.json runs/synstudy_linear_T1000_flow/final_test.json
+step reflow        runs/synstudy_linear_T1000_flow_reflow/final_test.json runs/synstudy_linear_T1000_flow/final_test.json $RES/fewstep_reflow.json
 s_reflow() {
   rm -rf runs/synstudy_linear_T1000_flow_reflow
   timeout 7200 python -m probabilisticdeepdiffusionmodels_tpu.cli.reflow \
@@ -286,10 +286,26 @@ s_train_tput() {
 }
 
 # ---------- driver -------------------------------------------------------
+# A producer whose SKIPIF study is committed must STILL run when some
+# pending step depends on its artifact (review r5: otherwise a wiped
+# runs/ checkpoint starves every downstream step into "SKIPPED: missing
+# dep" and the queue's re-create-missing-evidence contract breaks).
+dep_needed() {
+  local art=$1 t
+  for t in "${STEPS[@]}"; do
+    [ "${DEP[$t]}" = "$art" ] || continue
+    [ -e "${ART[$t]}" ] && continue
+    if [ -n "${SKIPIF[$t]}" ] && [ -e "${SKIPIF[$t]}" ]; then continue; fi
+    return 0
+  done
+  return 1
+}
+
 list_steps() {
   for s in "${STEPS[@]}"; do
     if [ -e "${ART[$s]}" ]; then st=SKIP
-    elif [ -n "${SKIPIF[$s]}" ] && [ -e "${SKIPIF[$s]}" ]; then st="SKIP(captured: ${SKIPIF[$s]})"
+    elif [ -n "${SKIPIF[$s]}" ] && [ -e "${SKIPIF[$s]}" ] \
+         && ! dep_needed "${ART[$s]}"; then st="SKIP(captured: ${SKIPIF[$s]})"
     elif [ -n "${DEP[$s]}" ] && [ ! -e "${DEP[$s]}" ]; then st="WAIT(${DEP[$s]})"
     else st=RUN; fi
     printf "%-22s %-55s %s\n" "$s" "${ART[$s]}" "$st"
@@ -315,7 +331,8 @@ echo $$ > /tmp/pddm_queue.pid
 for s in "${STEPS[@]}"; do
   want "$s" || continue
   if [ -e "${ART[$s]}" ]; then continue; fi
-  if [ -n "${SKIPIF[$s]}" ] && [ -e "${SKIPIF[$s]}" ]; then continue; fi
+  if [ -n "${SKIPIF[$s]}" ] && [ -e "${SKIPIF[$s]}" ] \
+     && ! dep_needed "${ART[$s]}"; then continue; fi
   if [ -n "${DEP[$s]}" ] && [ ! -e "${DEP[$s]}" ]; then
     echo "=== $s SKIPPED: missing dep ${DEP[$s]} $(date +%H:%M) ==="; continue
   fi
